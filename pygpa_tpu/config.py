@@ -1,0 +1,37 @@
+"""Centralized physics-derived defaults.
+
+The reference scatters these through keyword defaults
+(/root/reference/pyGPA/geometric_phase_analysis.py:20,915-918,
+property_extract.py:511,523); here they live in one dataclass so
+pipelines and benchmarks stay consistent.
+"""
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class GPAConfig:
+    # Gaussian lock-in window width (px). Reference default sigma=22
+    # (geometric_phase_analysis.py:20); pipelines usually derive
+    # sigma = ceil(1 / min |k|) instead (geometric_phase_analysis.py:917).
+    sigma: float = 22.0
+    # WFR k-window: kw = mean|k| / kw_scale, kstep = kw / ksteps
+    # (geometric_phase_analysis.py:915-918).
+    kw_scale: float = 2.5
+    ksteps: int = 3
+    # Phase-unwrap CG iteration tiers (phase_unwrap.py:141,
+    # geometric_phase_analysis.py:117,241).
+    unwrap_kmax: int = 100
+    unwrap_kmax_reconstruct: int = 10
+    unwrap_kmax_iterate: int = 25
+    unwrap_kmax_final: int = 200
+    # Graphene lattice constant in nm (geometric_phase_analysis.py:352-368).
+    a_0: float = 0.246
+    # Poisson ratio for heterostrain decompositions
+    # (property_extract.py:181-217,511,523).
+    poisson_ratio: float = 0.16
+    # Wiener deconvolution regularization (geometric_phase_analysis.py:892).
+    wiener_balance: float = 5000.0
+    wiener_pad: int = 20
+
+
+DEFAULTS = GPAConfig()

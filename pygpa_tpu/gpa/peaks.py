@@ -1,0 +1,159 @@
+"""Primary k-vector (Bragg/moire peak) detection.
+
+Reference behavior: /root/reference/pyGPA/geometric_phase_analysis.py:
+371-548. Split TPU-natively: everything dense (Moisan periodic
+decomposition, |FFT|, Gaussian/DoG smoothing, local-max masking) runs
+as one jit-compiled device program; the tiny data-dependent parts
+(coordinate lists, de-duplication, the recursive threshold/sigma
+adaptation) stay on host, exactly mirroring the reference's adaptive
+control flow.
+"""
+from functools import partial
+from itertools import combinations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.fourier import moisan_per, gaussian_filter_fft
+from ..core.mathtools import remove_negative_duplicates as _rnd
+from ..ops.peaks import local_max_mask
+
+
+def remove_negative_duplicates(ks):
+    """GPA-module variant (norm-scaled atol,
+    geometric_phase_analysis.py:371-385)."""
+    return _rnd(ks, atol_scale="norm")
+
+
+def smallest_sum(ks):
+    """Smallest +/- sum of 3 k-vectors (geometric_phase_analysis.py:
+    539-548): how close the triplet comes to a closed triangle."""
+    if len(ks) != 3:
+        return np.nan
+    M = np.ones((3, 3)) - 2 * np.eye(3)
+    sums = M @ np.asarray(ks)
+    return sums[np.argmin(np.linalg.norm(sums, axis=1))]
+
+
+def select_closest_to_triangle(ks):
+    """Select the 3 ks closest to a closed triangle
+    (geometric_phase_analysis.py:531-536)."""
+    combis = list(combinations(np.asarray(ks), 3))
+    sums = [np.linalg.norm(smallest_sum(c)) for c in combis]
+    return np.array(combis[int(np.argmin(sums))])
+
+
+@partial(jax.jit, static_argnames=("dog",))
+def _peak_image(image, sigma, dog):
+    """Device part: periodic-component |FFT|, smoothed (optionally DoG).
+    Returns the smoothed spectrum (fftshifted)."""
+    image = image - image.mean()
+    pd, _ = moisan_per(image, inverse_dft=False)
+    fftim = jnp.abs(jnp.fft.fftshift(pd))
+    smooth = gaussian_filter_fft(fftim, sigma)
+    if dog:
+        smooth = smooth - gaussian_filter_fft(fftim, 50.0)
+    return smooth
+
+
+def _decrease_threshold(t):
+    """Threshold adaptation schedule (geometric_phase_analysis.py:388-394)."""
+    if t > 0.001:
+        if t >= 0.2:
+            t = t - 0.1
+        else:
+            t = t / 2
+    return t
+
+
+def extract_primary_ks(image, plot=False, threshold=0.7,
+                       pix_norm_range=(2, 200), sigma=1, NMPERPIXEL=1.0,
+                       DoG=True):
+    """Extract the primary k-vectors of a lattice image from its
+    smoothed Fourier magnitude, recursively adapting threshold/sigma
+    until (ideally) three primary ks emerge
+    (geometric_phase_analysis.py:397-528).
+
+    Returns (primary_ks (N, 2), all_ks (N+M, 2)) as numpy arrays.
+    """
+    image = jnp.asarray(image)
+    smooth = _peak_image(image, jnp.asarray(float(sigma)), bool(DoG))
+    mask = local_max_mask(smooth, jnp.asarray(float(threshold),
+                                              smooth.dtype))
+    smooth_h = np.asarray(smooth)
+    cindices = np.argwhere(np.asarray(mask))
+    # order by descending peak intensity (peak_local_max convention)
+    if len(cindices):
+        order = np.argsort(-smooth_h[cindices[:, 0], cindices[:, 1]],
+                           kind="stable")
+        cindices = cindices[order]
+
+    kxs = np.fft.fftshift(np.fft.fftfreq(image.shape[0]))
+    kys = np.fft.fftshift(np.fft.fftfreq(image.shape[1]))
+    center = np.array(smooth_h.shape) // 2
+    coords = cindices - center
+    norms = np.linalg.norm(coords, axis=1) if len(coords) else np.zeros(0)
+    selection = (norms < pix_norm_range[1]) & (norms > pix_norm_range[0])
+    cindices = cindices[selection]
+    coords = coords[selection]
+
+    all_ks = np.array([kxs[cindices.T[0]], kys[cindices.T[1]]]).T \
+        if len(cindices) else np.zeros((0, 2))
+    all_ks = remove_negative_duplicates(all_ks)
+
+    newparams = False
+    if len(all_ks) < 3:
+        newparams = True
+        if len(all_ks) == 0:
+            if threshold > _decrease_threshold(threshold):
+                threshold = _decrease_threshold(threshold)
+            else:
+                print("No ks found at minimum threshold!")
+                newparams = False
+        else:
+            coordsminlength = np.linalg.norm(coords, axis=1).min()
+            peakvals = np.max([smooth_h[c[0], c[1]] for c in cindices])
+            if coordsminlength < 5 * sigma:
+                sigma = coordsminlength / 6
+            elif threshold > 0.2 * peakvals:
+                threshold = 0.2 * peakvals
+            elif threshold > _decrease_threshold(threshold):
+                threshold = _decrease_threshold(threshold)
+            else:
+                print("Can't find enough ks!")
+                newparams = False
+        if newparams:
+            primary_ks, all_ks = extract_primary_ks(
+                image, plot=False, threshold=threshold, sigma=sigma,
+                pix_norm_range=pix_norm_range, DoG=DoG)
+        else:
+            primary_ks = all_ks.copy()
+
+    if not newparams:
+        primary_ks = all_ks.copy()
+
+    if len(primary_ks) != 3:
+        if len(primary_ks) > 3:
+            primary_ks = select_closest_to_triangle(all_ks)
+        elif len(all_ks) > 6:
+            primary_ks = select_closest_to_triangle(all_ks)
+        elif threshold > _decrease_threshold(threshold) and not newparams:
+            threshold = _decrease_threshold(threshold)
+            primary_ks, all_ks = extract_primary_ks(
+                image, plot=False, threshold=threshold, sigma=sigma,
+                pix_norm_range=pix_norm_range, DoG=DoG)
+        else:
+            primary_ks = all_ks.copy()
+
+    if plot:  # pragma: no cover - debug visualization
+        from ..imagetools import fftplot
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(ncols=2, figsize=[12, 8])
+        fftplot(smooth_h, d=NMPERPIXEL, ax=ax[0], pcolormesh=False,
+                origin="lower")
+        ax[0].scatter(*(all_ks / NMPERPIXEL).T, color="red", alpha=0.2, s=50)
+        ax[0].scatter(*(np.asarray(primary_ks) / NMPERPIXEL).T,
+                      color="black", alpha=0.7, s=50, marker="x")
+        ax[1].imshow(np.asarray(image).T, origin="lower")
+    return primary_ks, all_ks

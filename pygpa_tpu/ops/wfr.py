@@ -1,0 +1,217 @@
+"""Windowed-Fourier-Ridge sweep — the pipeline's hot loop, TPU-native.
+
+The reference sweeps a grid of candidate reference vectors w around
+each Bragg peak k; for every w it modulates the image, runs a forward
++ inverse FFT with a Gaussian bandpass, and keeps, per pixel, the w
+with the largest lock-in amplitude (optwfr2 / wfr2_grad_opt,
+/root/reference/pyGPA/geometric_phase_analysis.py:669-686,763-813 —
+HOT LOOP #1; CuPy mirror cuGPA.py:41-133). That costs 2 full-size
+complex FFTs per candidate plus per-w plane-wave construction and
+boolean fancy-indexing updates.
+
+TPU formulation (see ops/lockin.py for the identity):
+
+  M_w(r) = IFFT[ F(q) * G_sigma(q + w) ],   F = FFT(image)  (once!)
+
+ - ONE forward FFT for the whole sweep; per candidate only a separable
+   analytic Gaussian, a fused complex multiply, and one inverse FFT.
+ - M_w is the lock-in *demodulated by w*, so the running per-pixel
+   argmax needs no per-w rebasing phase at all: the winner is rebased
+   to k once at the end with a single plane wave (the per-w factor
+   e^{-2 pi i (w-k).r} of the reference equals e^{-2 pi i w r} *
+   e^{+2 pi i k r}, and the first factor is already inside M_w).
+ - the phase gradient (wfr2_grad_opt) likewise needs only a constant
+   -2 pi k correction after the sweep, since grad(-angle M_w) =
+   grad(-angle L_w) + 2 pi w; the reference's trailing
+   wrapToPi(2g)/2 (geometric_phase_analysis.py:812) maps both
+   formulations to the same representative.
+
+Boundary semantics: both formulations see the circular wrap-around of
+the Gaussian window (both are FFT-circular); within ~4 sigma of the
+image borders the wrapped tail enters with phase e^{2 pi i w N} here
+versus 1 in the reference — two equally artifactual conventions.
+Interior values agree to float precision (tests/test_lockin_wfr.py);
+pipelines mask a 2-sigma rim regardless (extract_displacement_field's
+weight mask, geometric_phase_analysis.py:923-926).
+ - candidates are processed in chunks via lax.scan with a batched
+   inverse FFT; the carry holds (best |.|^2, best complex, best index,
+   best grad), all updated with jnp.where — the jnp analogue of the
+   cupy running-max (cuGPA.py:74-76).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.mathtools import wrap_to_pi
+from .lockin import plane_wave
+
+
+def _np_gradient_2d(ph):
+    """np.gradient-compatible (first-order edges, central interior)
+    gradients along the last two axes. Returns (d_axis0, d_axis1)."""
+    gx = jnp.concatenate([
+        ph[..., 1:2, :] - ph[..., 0:1, :],
+        (ph[..., 2:, :] - ph[..., :-2, :]) * 0.5,
+        ph[..., -1:, :] - ph[..., -2:-1, :],
+    ], axis=-2)
+    gy = jnp.concatenate([
+        ph[..., :, 1:2] - ph[..., :, 0:1],
+        (ph[..., :, 2:] - ph[..., :, :-2]) * 0.5,
+        ph[..., :, -1:] - ph[..., :, -2:-1],
+    ], axis=-1)
+    return gx, gy
+
+
+def _shifted_gaussians(shape, ws, sigma, dtype):
+    """Separable Gaussian bandpass factors G(q + w) for a chunk of ws.
+    Returns (gx (C, N), gy (C, M))."""
+    fx = jnp.fft.fftfreq(shape[0]).astype(dtype)
+    fy = jnp.fft.fftfreq(shape[1]).astype(dtype)
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, dtype)
+    gx = jnp.exp(-s2 * (fx[None, :] + ws[:, 0:1]) ** 2)
+    gy = jnp.exp(-s2 * (fy[None, :] + ws[:, 1:2]) ** 2)
+    return gx, gy
+
+
+@partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk"))
+def _wfr_sweep_chunked(spectrum, wlist, sigma, with_grad, chunk):
+    n, m = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    P = wlist.shape[0]
+    pad = (-P) % chunk
+    # sentinel candidates far outside the band: bandpass response == 0,
+    # strict '>' keeps them from ever winning.
+    wpad = jnp.full((pad, 2), 1e3, wlist.dtype)
+    wl = jnp.concatenate([wlist.astype(rdt), wpad.astype(rdt)])
+    nchunks = (P + pad) // chunk
+    wl = wl.reshape(nchunks, chunk, 2)
+
+    def body(carry, xs):
+        best_absq, best_lockin, best_idx, best_grad = carry
+        ws, base_idx = xs
+        gx, gy = _shifted_gaussians((n, m), ws, sigma, rdt)
+        G = gx[:, :, None] * gy[:, None, :]
+        Mw = jnp.fft.ifft2(spectrum[None] * G.astype(spectrum.dtype))
+        absq = Mw.real * Mw.real + Mw.imag * Mw.imag
+        if with_grad:
+            ph = -jnp.arctan2(Mw.imag, Mw.real)
+            ggx, ggy = _np_gradient_2d(ph)
+        # reduce the chunk: first max wins (matches the reference's
+        # sequential strict-'>' update order)
+        loc = jnp.argmax(absq, axis=0)
+        sel = lambda a: jnp.take_along_axis(a, loc[None], axis=0)[0]
+        c_absq = sel(absq)
+        c_lock = sel(Mw)
+        c_idx = base_idx + loc.astype(jnp.int32)
+        better = c_absq > best_absq
+        best_absq = jnp.where(better, c_absq, best_absq)
+        best_lockin = jnp.where(better, c_lock, best_lockin)
+        best_idx = jnp.where(better, c_idx, best_idx)
+        if with_grad:
+            c_grad = jnp.stack([sel(ggx), sel(ggy)], axis=-1)
+            best_grad = jnp.where(better[..., None], c_grad, best_grad)
+        return (best_absq, best_lockin, best_idx, best_grad), None
+
+    base_idx = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
+    init = (jnp.zeros((n, m), rdt),
+            jnp.zeros((n, m), spectrum.dtype),
+            jnp.zeros((n, m), jnp.int32),
+            jnp.zeros((n, m, 2), rdt) if with_grad else jnp.zeros((0,), rdt))
+    (best_absq, best_lockin, best_idx, best_grad), _ = jax.lax.scan(
+        body, init, (wl, base_idx))
+    return best_absq, best_lockin, best_idx, best_grad
+
+
+@partial(jax.jit, static_argnames=("sigma", "with_grad", "dk"))
+def _wfr_sweep_sequential(spectrum, wlist, sigma, with_grad, dk):
+    """Sequential variant with the wfr4 k-continuity constraint
+    (geometric_phase_analysis.py:839-862): a candidate only wins if it
+    also lies within 2*sqrt(2)*dk of the pixel's current winner."""
+    n, m = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    wl = wlist.astype(rdt)
+
+    def body(carry, xs):
+        best_absq, best_lockin, best_w, best_idx = carry
+        w, idx = xs
+        gx, gy = _shifted_gaussians((n, m), w[None], sigma, rdt)
+        G = gx[0, :, None] * gy[0, None, :]
+        Mw = jnp.fft.ifft2(spectrum * G.astype(spectrum.dtype))
+        absq = Mw.real * Mw.real + Mw.imag * Mw.imag
+        t = absq > best_absq
+        if dk is not None:
+            dist2 = ((best_w[..., 0] - w[0]) ** 2
+                     + (best_w[..., 1] - w[1]) ** 2)
+            t = t & (dist2 < 8.0 * dk * dk)
+        best_absq = jnp.where(t, absq, best_absq)
+        best_lockin = jnp.where(t, Mw, best_lockin)
+        best_w = jnp.where(t[..., None], w, best_w)
+        best_idx = jnp.where(t, idx.astype(jnp.int32), best_idx)
+        return (best_absq, best_lockin, best_w, best_idx), None
+
+    init_w = jnp.broadcast_to(wl[0], (n, m, 2))
+    init = (jnp.zeros((n, m), rdt), jnp.zeros((n, m), spectrum.dtype),
+            init_w, jnp.zeros((n, m), jnp.int32))
+    (best_absq, best_lockin, best_w, best_idx), _ = jax.lax.scan(
+        body, init, (wl, jnp.arange(wl.shape[0])))
+    return best_absq, best_lockin, best_w, best_idx
+
+
+def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False,
+              continuity_dk=None, chunk=8, spectrum=None):
+    """Run a WFR sweep over candidate vectors `wlist` rebased to `kref`.
+
+    Parameters
+    ----------
+    image : (N, M) real array, already mean-subtracted by the caller.
+    wlist : (P, 2) candidate reference vectors (row-major grid order to
+        match the reference's tie-breaking).
+    kref : (2,) vector the output phase is referenced to.
+    sigma : float — Gaussian window width (static under jit).
+    with_grad : also return the per-pixel phase gradient (the
+        wfr2_grad_opt output).
+    continuity_dk : if set, enforce the wfr4 continuity constraint
+        (forces the sequential path).
+    chunk : candidates per batched inverse FFT (memory/speed knob).
+    spectrum : optional precomputed fft2(image) to share across the
+        per-Bragg-peak sweeps of a pipeline.
+
+    Returns
+    -------
+    dict with 'lockin' (complex (N, M), phase relative to kref),
+    'w' ((2, N, M) winning vectors), and 'grad' ((N, M, 2)) if
+    requested — the reference's g-dict contract
+    (geometric_phase_analysis.py:615-644).
+    """
+    if spectrum is None:
+        image = jnp.asarray(image)
+        spectrum = jnp.fft.fft2(image)
+    wlist = jnp.asarray(wlist)
+    kref = jnp.asarray(kref)
+    shape = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+
+    if continuity_dk is not None:
+        best_absq, best_lockin, best_w, _ = _wfr_sweep_sequential(
+            spectrum, wlist, float(sigma), with_grad, float(continuity_dk))
+        w_field = best_w
+    else:
+        best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_chunked(
+            spectrum, wlist, float(sigma), with_grad,
+            int(min(chunk, wlist.shape[0])))
+        w_field = wlist.astype(rdt)[best_idx]
+
+    rebase = plane_wave(shape, kref, rdt)
+    out = {
+        "lockin": best_lockin * rebase,
+        "w": jnp.moveaxis(w_field, -1, 0),
+    }
+    if with_grad:
+        if continuity_dk is not None:
+            raise NotImplementedError(
+                "grad output not supported with continuity constraint")
+        g = best_grad - 2 * jnp.pi * kref.astype(rdt)
+        out["grad"] = wrap_to_pi(2.0 * g) / 2.0
+    return out

@@ -1,0 +1,18 @@
+"""Multi-chip scaling: device meshes, sharded batch pipelines, and the
+distributed WFR k-sweep.
+
+The reference's scaling story is dask chunking on one node
+(/root/reference/pyGPA/geometric_phase_analysis.py:705-719,816-836;
+property_extract.py:863-883). The TPU-native equivalents:
+
+ - image stacks / mosaic tiles: data-parallel sharding of the batch
+   axis over a jax.sharding.Mesh (ICI), one jit'd program;
+ - the WFR candidate sweep: shard the k-candidate grid over devices,
+   combine with an argmax tree of psum/pmax collectives (O(1) memory);
+ - 8k^2+ single images: XLA's GSPMD sharded FFT via sharding
+   constraints.
+"""
+from .mesh import make_mesh, batch_sharding  # noqa: F401
+from .sharded import (  # noqa: F401
+    extract_displacement_field_batch, wfr_sweep_sharded,
+)

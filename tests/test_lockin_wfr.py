@@ -1,0 +1,100 @@
+"""Lock-in and WFR sweep: TPU formulations vs the literal NumPy oracle
+(the reference repo's variant-equivalence strategy,
+/root/reference/tests/test_geometric_phase_analysis.py:82-97)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pygpa_tpu.ops.lockin import gpa_lockin, gpa_lockin_batch
+from pygpa_tpu.ops.wfr import wfr_sweep
+from pygpa_tpu import gpa
+from reference_impls import ref_lockin, ref_wfr
+
+
+@pytest.fixture(scope="module")
+def small_lattice():
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    r_k = 0.15
+    img = np.array(hexlattice_gen(r_k, 13.0, order=1, size=192,
+                                  dtype=np.float64))
+    ks = np.array(generate_ks(r_k, 13.0))[:3]
+    return img - img.mean(), ks
+
+
+def test_lockin_matches_oracle(small_lattice):
+    img, ks = small_lattice
+    for k in ks:
+        mine = np.asarray(gpa_lockin(jnp.asarray(img), jnp.asarray(k),
+                                     sigma=10))
+        ref = ref_lockin(img, k[0], k[1], sigma=10)
+        assert np.allclose(mine, ref, atol=1e-10)
+
+
+def test_lockin_batch(small_lattice):
+    img, ks = small_lattice
+    batch = np.asarray(gpa_lockin_batch(jnp.asarray(img), jnp.asarray(ks),
+                                        sigma=10))
+    for i, k in enumerate(ks):
+        assert np.allclose(batch[i], ref_lockin(img, k[0], k[1], 10),
+                           atol=1e-10)
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 8])
+def test_wfr_sweep_matches_oracle(small_lattice, chunk):
+    """The single-FFT shifted-Gaussian sweep must reproduce the literal
+    modulate-per-candidate sweep (lockin, winning w, and gradient) in
+    the image interior. (Within ~4 sigma of the borders the two
+    formulations pick up the circular Gaussian wrap-around with a
+    different — equally artifactual — phase; pipelines mask that rim.)
+    """
+    img, ks = small_lattice
+    kw = np.linalg.norm(ks, axis=1).mean() / 2.5
+    kstep = kw / 3
+    sigma = int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
+    m = 5 * sigma
+    sl = np.s_[m:-m, m:-m]
+    for k in ks[:2]:
+        ref = ref_wfr(img, sigma, k[0], k[1], kw, kstep, with_grad=True)
+        wxs = np.arange(k[0] - kw, k[0] + kw, kstep)
+        wys = np.arange(k[1] - kw, k[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlist = np.stack([wx.ravel(), wy.ravel()], -1)
+        mine = wfr_sweep(jnp.asarray(img), wlist, k, sigma,
+                         with_grad=True, chunk=chunk)
+        lock = np.array(mine["lockin"])[sl]
+        assert np.allclose(lock, ref["lockin"][sl], atol=3e-6)
+        assert np.allclose(np.array(mine["w"])[:, m:-m, m:-m],
+                           ref["w"][:, m:-m, m:-m], atol=1e-12)
+        assert np.allclose(np.array(mine["grad"])[sl], ref["grad"][sl],
+                           atol=1e-6)
+
+
+def test_api_variants_consistent(small_lattice):
+    """wfr2 / optwfr2 / wfr2_grad_opt / wfr3 agree on the lock-in, as
+    the reference's variant tests demand."""
+    img, ks = small_lattice
+    k = ks[0]
+    kw = np.linalg.norm(ks, axis=1).mean() / 2.5
+    kstep = kw / 3
+    sigma = 10
+    g1 = gpa.wfr2(img, sigma, k[0], k[1], kw, kstep)
+    g2 = gpa.wfr2_grad_opt(img, sigma, k[0], k[1], kw, kstep)
+    only = gpa.wfr2_only_lockin(img, sigma, k[0], k[1], kw, kstep)
+    assert np.allclose(np.asarray(g1["lockin"]), np.asarray(g2["lockin"]))
+    assert np.allclose(np.asarray(g1["lockin"]), np.asarray(only))
+    # wfr3 with the same grid and kref == k gives the same result
+    wxs = np.arange(k[0] - kw, k[0] + kw, kstep)
+    wys = np.arange(k[1] - kw, k[1] + kw, kstep)
+    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+    klist = np.stack([wx.ravel(), wy.ravel()], -1)
+    g3 = gpa.wfr3(img, sigma, klist, k)
+    assert np.allclose(np.asarray(g3["lockin"]), np.asarray(g1["lockin"]))
+
+
+def test_wfr4_continuity(small_lattice):
+    img, ks = small_lattice
+    k = ks[0]
+    klists = gpa.generate_klists(ks, dk=0.01)
+    g = gpa.wfr4(img, 10, klists[0][:40], k, dk=0.01)
+    assert np.isfinite(np.asarray(g["lockin"])).all()
+    assert np.asarray(g["w"]).shape == (2,) + img.shape

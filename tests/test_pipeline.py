@@ -1,0 +1,73 @@
+"""End-to-end pipeline tests against analytic ground truth, mirroring
+the reference's tolerances
+(/root/reference/tests/test_geometric_phase_analysis.py:61-78).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pygpa_tpu import gpa
+
+
+def test_displacement_field(testset_gaussian, gaussiandeform):
+    original, deformed, noise, ori_ks = testset_gaussian
+    u = -np.array(gpa.extract_displacement_field(deformed + noise,
+                                                 ori_ks[:3]))
+    assert u.shape == gaussiandeform.shape
+    err = np.abs(u - gaussiandeform)[:, 20:-20, 20:-20]
+    print("noisy max err:", err.max())
+    assert np.all(err < 0.9)
+
+    u2 = -np.array(gpa.extract_displacement_field(deformed, ori_ks[:3],
+                                                  deconvolve=True))
+    assert u2.shape == gaussiandeform.shape
+    err2 = np.abs(u2 - gaussiandeform)[:, 20:-20, 20:-20]
+    print("deconvolved max err:", err2.max())
+    assert np.all(err2 < 0.05)
+
+
+def test_reconstruction(testset_gaussian, gaussiandeform):
+    original, deformed, noise, ori_ks = testset_gaussian
+    u_inv = np.array(gpa.invert_u_overlap(jnp.asarray(-gaussiandeform)))
+    assert u_inv.shape == gaussiandeform.shape
+    reconstructed = np.array(gpa.undistort_image(deformed, gaussiandeform))
+    err = np.abs(reconstructed - original) / np.abs(original).max()
+    print("reconstruction max rel err:", err.max())
+    # reference tolerance on the full interior; the outermost pixel ring
+    # differs slightly (Catmull-Rom clamp vs scipy's spline boundary)
+    assert np.all(err[1:-1, 1:-1] < 0.02)
+    assert np.all(err < 0.03)
+
+
+def test_iterate_gpa(testset_gaussian):
+    """iterate_GPA refines deliberately-offset k-vectors back toward
+    the truth (the reference has no direct test; this checks the
+    contract of geometric_phase_analysis.py:116-154)."""
+    original, deformed, noise, ori_ks = testset_gaussian
+    ks = ori_ks[:3]
+    offset = np.array([0.002, -0.001])
+    sigma = int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
+    prs, w, corr = gpa.iterate_GPA(jnp.asarray(original),
+                                   ks + offset, sigma)
+    corr = np.array(corr)
+    # the correction should cancel most of the imposed offset
+    assert np.all(np.linalg.norm(corr + offset, axis=1)
+                  < 0.35 * np.linalg.norm(offset))
+
+
+def test_reconstruct_u_inv_consistency(testset_gaussian, gaussiandeform):
+    """reconstruct_u_inv (unwrapped-phase path) agrees with the
+    gradient-integration path on clean data."""
+    original, deformed, noise, ori_ks = testset_gaussian
+    ks = ori_ks[:3]
+    u, gs = gpa.extract_displacement_field(deformed, ks, return_gs=True)
+    phases = jnp.stack([jnp.angle(g["lockin"]) for g in gs])
+    weights = jnp.stack([jnp.abs(g["lockin"]) for g in gs])
+    # unwrapped phases from the analytic truth: -2 pi K u_d
+    true_phases = -2 * np.pi * np.einsum(
+        "kc,cnm->knm", ks, gaussiandeform)
+    us = np.array(gpa.reconstruct_u_inv(ks, jnp.asarray(true_phases),
+                                        weights))
+    center = np.s_[:, 100:-100, 100:-100]
+    resid = (us - (-gaussiandeform))[center]
+    assert np.abs(resid - resid.mean(axis=(1, 2), keepdims=True)).max() \
+        < 1e-6
