@@ -97,6 +97,56 @@ def gaussian_deconvolve(data, sigma, dr=20, balance=5000):
     return out[..., 2 * dr: -2 * dr, 2 * dr: -2 * dr]
 
 
+def make_displacement_extractor(shape, kvecs, sigma=None, kwscale=2.5,
+                                ksteps=3, deconvolve=False, chunk=8,
+                                unwrap_kmax=10, dtype=jnp.float32):
+    """Build a single fully-jitted displacement-extraction program for
+    a fixed image shape and k-vector set: 3 WFR sweeps on one shared
+    spectrum -> per-pixel weighted lstsq -> CG unwrap (-> optional
+    Wiener deconvolution), all fused into one XLA executable. This is
+    the production/benchmark entry point; extract_displacement_field
+    is the flexible eager-friendly API."""
+    kvecs_h = np.asarray(kvecs, np.float64)
+    knorms = np.linalg.norm(kvecs_h, axis=1)
+    if not np.all(knorms > 0):
+        raise ValueError("all k-vectors must be nonzero")
+    kw = knorms.mean() / kwscale
+    sig = sigma if sigma is not None else int(np.ceil(1 / knorms.min()))
+    kstep = kw / ksteps
+    wlists = []
+    for pk in kvecs_h:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    wlists = [jnp.asarray(w, dtype) for w in wlists]
+    kv = jnp.asarray(kvecs_h, dtype)
+    dr = 2 * sig
+
+    @jax.jit
+    def run(image):
+        image = image.astype(dtype)
+        img0 = image - image.mean()
+        spectrum = jnp.fft.fft2(img0)
+        lockins = []
+        for i in range(len(wlists)):
+            g = wfr_sweep(img0, wlists[i], kv[i], sig, chunk=chunk,
+                          with_w=False, spectrum=spectrum)
+            lockins.append(g["lockin"])
+        lockins = jnp.stack(lockins)
+        phases = jnp.angle(lockins)
+        mask = jnp.zeros(shape, dtype)
+        mask = mask.at[dr:-dr, dr:-dr].set(1.0)
+        weights = jnp.abs(lockins) * (mask + 1e-6)
+        u = reconstruct_u_inv_from_phases(kv, phases, weights,
+                                          kmax=unwrap_kmax)
+        if deconvolve:
+            u = gaussian_deconvolve(u, sig, dr)
+        return u
+
+    return run
+
+
 def extract_displacement_field(image, kvecs, sigma=None, kwscale=2.5,
                                ksteps=3, return_gs=False, wfr_func=None,
                                deconvolve=False, with_grad=False,

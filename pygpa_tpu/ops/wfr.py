@@ -98,20 +98,18 @@ def _wfr_sweep_chunked(spectrum, wlist, sigma, with_grad, chunk):
         if with_grad:
             ph = -jnp.arctan2(Mw.imag, Mw.real)
             ggx, ggy = _np_gradient_2d(ph)
-        # reduce the chunk: first max wins (matches the reference's
-        # sequential strict-'>' update order)
-        loc = jnp.argmax(absq, axis=0)
-        sel = lambda a: jnp.take_along_axis(a, loc[None], axis=0)[0]
-        c_absq = sel(absq)
-        c_lock = sel(Mw)
-        c_idx = base_idx + loc.astype(jnp.int32)
-        better = c_absq > best_absq
-        best_absq = jnp.where(better, c_absq, best_absq)
-        best_lockin = jnp.where(better, c_lock, best_lockin)
-        best_idx = jnp.where(better, c_idx, best_idx)
-        if with_grad:
-            c_grad = jnp.stack([sel(ggx), sel(ggy)], axis=-1)
-            best_grad = jnp.where(better[..., None], c_grad, best_grad)
+        # reduce the chunk with an unrolled strict-'>' where-tournament:
+        # first max wins (the reference's sequential update order), and
+        # everything stays fused VPU selects — per-pixel gathers
+        # (take_along_axis) are pathologically slow on TPU here.
+        for i in range(ws.shape[0]):
+            better = absq[i] > best_absq
+            best_absq = jnp.where(better, absq[i], best_absq)
+            best_lockin = jnp.where(better, Mw[i], best_lockin)
+            best_idx = jnp.where(better, base_idx + i, best_idx)
+            if with_grad:
+                gi = jnp.stack([ggx[i], ggy[i]], axis=-1)
+                best_grad = jnp.where(better[..., None], gi, best_grad)
         return (best_absq, best_lockin, best_idx, best_grad), None
 
     base_idx = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
@@ -159,7 +157,7 @@ def _wfr_sweep_sequential(spectrum, wlist, sigma, with_grad, dk):
     return best_absq, best_lockin, best_w, best_idx
 
 
-def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False,
+def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
               continuity_dk=None, chunk=8, spectrum=None):
     """Run a WFR sweep over candidate vectors `wlist` rebased to `kref`.
 
@@ -201,13 +199,14 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False,
         best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_chunked(
             spectrum, wlist, float(sigma), with_grad,
             int(min(chunk, wlist.shape[0])))
-        w_field = wlist.astype(rdt)[best_idx]
+        # table gather only when the caller wants the k-map (skipped on
+        # the pipeline hot path)
+        w_field = wlist.astype(rdt)[best_idx] if with_w else None
 
     rebase = plane_wave(shape, kref, rdt)
-    out = {
-        "lockin": best_lockin * rebase,
-        "w": jnp.moveaxis(w_field, -1, 0),
-    }
+    out = {"lockin": best_lockin * rebase}
+    if w_field is not None:
+        out["w"] = jnp.moveaxis(w_field, -1, 0)
     if with_grad:
         if continuity_dk is not None:
             raise NotImplementedError(

@@ -74,6 +74,10 @@ def wfr_sweep_sharded(image, wlist, kref, sigma, mesh, axis="batch",
         in_specs=(P(None, None), P(axis, None, None)),
         out_specs=(P(axis, None, None), P(axis, None, None),
                    P(axis, None, None, None)),
+        # the scan carry inside the sweep kernel starts unvarying and
+        # becomes device-varying after the first chunk; replica
+        # consistency is established explicitly via pmax/psum below
+        check_vma=False,
     )(spectrum, jnp.asarray(wl))
     lockin, idx, grad = lockin[0], idx[0], grad[0]
     kref = jnp.asarray(kref, rdt)

@@ -42,7 +42,10 @@ def svd2x2(A):
     Q = jnp.hypot(E, H)
     R = jnp.hypot(F, G)
     sx = Q + R
-    sy = Q - R  # may be negative (det < 0)
+    # small singular value via the determinant (stable where Q ~ R,
+    # i.e. extreme anisotropy — the dlasv2 trick), signed by det
+    det = a * d - b * c
+    sy = jnp.where(sx > 0, det / jnp.where(sx > 0, sx, 1.0), 0.0)
     a1 = jnp.arctan2(G, F)
     a2 = jnp.arctan2(H, E)
     theta_u = (a2 + a1) * 0.5   # left rotation angle

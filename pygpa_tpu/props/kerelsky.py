@@ -104,16 +104,35 @@ _LOWER4 = jnp.array([0.0, -jnp.inf, 0.0, -jnp.inf])
 _UPPER4 = jnp.full(4, jnp.inf)
 
 
+def _multistart(residual, est):
+    """Run the LM from a small bank of starts around `est` — xi shifted
+    by -90/0/+90 degrees and psi by 0/90 — and keep the lowest cost.
+    The xi landscape is periodic with several basins; scipy's
+    trust-region escapes poor starts where a plain LM can run away, so
+    the bank makes the in-repo solver at least as robust as the
+    reference's two-restart scheme (property_extract.py:666-682)."""
+    shifts = jnp.array([[0.0, dpsi, 0.0, dxi]
+                        for dxi in (-90.0, 0.0, 90.0)
+                        for dpsi in (0.0, 90.0)])
+    starts = est[None, :] + shifts
+
+    def one(x0):
+        return _lm_solve(residual, x0, _LOWER4, _UPPER4)
+
+    xs, cs = jax.vmap(one)(starts)
+    i = jnp.argmin(cs)
+    return xs[i], cs[i]
+
+
 @jax.jit
 def _fit_moire_diffs(est, lkvecs, nmperpixel):
-    return _lm_solve(lambda x: _moire_diffs_resid(x, lkvecs, nmperpixel),
-                     est, _LOWER4, _UPPER4)
+    return _multistart(
+        lambda x: _moire_diffs_resid(x, lkvecs, nmperpixel), est)
 
 
 @jax.jit
 def _fit_jac(est, JacA0):
-    return _lm_solve(lambda x: Jac_fit_diff(x, JacA0),
-                     est, _LOWER4, _UPPER4)
+    return _multistart(lambda x: Jac_fit_diff(x, JacA0), est)
 
 
 # ------------------------------------------------------------ public API
