@@ -45,10 +45,18 @@ def dct2_1d(x):
     """Unnormalized DCT-II along the last axis (== scipy.fft.dct, norm=None).
 
     Makhoul's single-FFT algorithm: permute to v = [x0, x2, ..., x3, x1],
-    FFT, twiddle by exp(-i pi k / 2n), keep 2*Re.
+    FFT, twiddle by exp(-i pi k / 2n), keep 2*Re. For even lengths the
+    even/odd split is a reshape (one layout pass) instead of two strided
+    gathers — strided memory ops are slow on TPU.
     """
     n = x.shape[-1]
-    v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
+    if n % 2 == 0:
+        pairs = x.reshape(x.shape[:-1] + (n // 2, 2))
+        v = jnp.concatenate([pairs[..., 0], pairs[..., 1][..., ::-1]],
+                            axis=-1)
+    else:
+        v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]],
+                            axis=-1)
     F = jnp.fft.fft(v)
     k = jnp.arange(n, dtype=_real_dtype(x.dtype))
     W = jnp.exp(-1j * jnp.pi * k / (2 * n)).astype(F.dtype)
@@ -65,9 +73,15 @@ def idct2_1d(y):
     F = G * jnp.exp(1j * jnp.pi * k / (2 * n)).astype(G.dtype)
     v = jnp.fft.ifft(F).real
     half = (n + 1) // 2
-    x = jnp.zeros_like(y)
-    x = x.at[..., ::2].set(v[..., :half])
-    x = x.at[..., 1::2].set(v[..., half:][..., ::-1])
+    if n % 2 == 0:
+        # interleave via stack+reshape (one layout pass, no strided
+        # scatter): x[2j] = v[j], x[2j+1] = v[n-1-j]
+        x = jnp.stack([v[..., :half], v[..., half:][..., ::-1]],
+                      axis=-1).reshape(y.shape)
+    else:
+        x = jnp.zeros_like(y)
+        x = x.at[..., ::2].set(v[..., :half])
+        x = x.at[..., 1::2].set(v[..., half:][..., ::-1])
     return x
 
 

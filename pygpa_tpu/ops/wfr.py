@@ -157,8 +157,125 @@ def _wfr_sweep_sequential(spectrum, wlist, sigma, with_grad, dk):
     return best_absq, best_lockin, best_w, best_idx
 
 
+def _zoom_window(n, center_bin, half_need):
+    """Window bin indices (mod n) around center_bin; returns int32
+    index vector of length W (host numpy)."""
+    W = int(half_need) * 2
+    idx = (center_bin - W // 2 + np.arange(W)) % n
+    return idx.astype(np.int32)
+
+
+def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=22.0,
+               lane=64):
+    """Plan the band-limited (zoom) sweep: the Gaussian bandpass
+    G(q + w) confines every candidate's spectrum to a small window
+    around -mean(w); if that window (plus the candidate spread and a
+    safety margin) is much smaller than the image, the per-candidate
+    inverse FFT can be computed as two skinny DFT matmuls on the MXU
+    instead of a full-size FFT. Returns (idx0, idx1) window index
+    vectors or None when the window would not be worthwhile.
+
+    gauss_cut is -ln(G) at the window edge (22 -> G ~ 3e-10, below
+    float32 resolution of the passband)."""
+    n, m = shape
+    f_band = np.sqrt(gauss_cut / 2.0) / (np.pi * sigma)
+    w = np.asarray(wlist, np.float64)
+    c0 = int(np.round(-np.mean(w[:, 0]) * n))
+    c1 = int(np.round(-np.mean(w[:, 1]) * m))
+    ext0 = np.max(np.abs(-w[:, 0] * n - c0)) if len(w) else 0.0
+    ext1 = np.max(np.abs(-w[:, 1] * m - c1)) if len(w) else 0.0
+    need0 = int(np.ceil(f_band * n + ext0)) + pad_bins
+    need1 = int(np.ceil(f_band * m + ext1)) + pad_bins
+    # round the half-width up so W = 2*half is a multiple of `lane`
+    half0 = -(-need0 // (lane // 2)) * (lane // 2)
+    half1 = -(-need1 // (lane // 2)) * (lane // 2)
+    if 2 * half0 > 0.7 * n or 2 * half1 > 0.7 * m:
+        return None
+    return _zoom_window(n, c0, half0), _zoom_window(m, c1, half1)
+
+
+def _zoom_basis(n, idx, dtype):
+    """cos/sin of the inverse-DFT submatrix e^{2 pi i r idx / n} (n, W),
+    computed in-graph with integer mod so large arguments stay exact."""
+    r = jnp.arange(n, dtype=jnp.int32)[:, None]
+    ph = (r * idx[None, :]) % n
+    ang = (2 * jnp.pi / n) * ph.astype(dtype)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+@partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk"))
+def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
+                    chunk):
+    """Band-limited sweep: crop the spectrum to the (W0, W1) window all
+    candidate bandpasses live in, then per candidate compute the
+    full-resolution demodulated lock-in M_w as two real-decomposed
+    skinny matmuls (MXU) instead of a full-size inverse FFT. Identical
+    values to _wfr_sweep_chunked up to the sub-float32 window
+    truncation (G < 3e-10 outside) and matmul rounding at HIGHEST
+    precision."""
+    n, m = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    W0, W1 = idx0.shape[0], idx1.shape[0]
+    P = wlist.shape[0]
+    pad = (-P) % chunk
+    wl = jnp.concatenate([wlist.astype(rdt),
+                          jnp.full((pad, 2), 1e3, rdt)])
+    nchunks = (P + pad) // chunk
+    wl = wl.reshape(nchunks, chunk, 2)
+
+    S = jnp.take(jnp.take(spectrum, idx0, axis=0), idx1, axis=1)
+    Sr, Si = S.real, S.imag
+    A0c, A0s = _zoom_basis(n, idx0, rdt)   # (n, W0)
+    A1c, A1s = _zoom_basis(m, idx1, rdt)   # (m, W1)
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    # window frequencies (cycles/px) for the shifted Gaussian
+    f0 = jnp.where(idx0 < n // 2 + n % 2, idx0, idx0 - n).astype(rdt) / n
+    f1 = jnp.where(idx1 < m // 2 + m % 2, idx1, idx1 - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.einsum("rw,cwv->crv", a, b, precision=hi)
+
+    def mmT(a, b):
+        return jnp.einsum("crv,sv->crs", a, b, precision=hi)
+
+    def body(carry, xs):
+        best_absq, best_lockin, best_idx, best_grad = carry
+        ws, base_idx = xs
+        gx = jnp.exp(-s2 * (f0[None, :] + ws[:, 0:1]) ** 2)  # (C, W0)
+        gy = jnp.exp(-s2 * (f1[None, :] + ws[:, 1:2]) ** 2)  # (C, W1)
+        Swr = gx[:, :, None] * Sr[None] * gy[:, None, :] * scale
+        Swi = gx[:, :, None] * Si[None] * gy[:, None, :] * scale
+        Tr = mm(A0c, Swr) - mm(A0s, Swi)    # (C, n, W1)
+        Ti = mm(A0c, Swi) + mm(A0s, Swr)
+        Mr = mmT(Tr, A1c) - mmT(Ti, A1s)    # (C, n, m)
+        Mi = mmT(Tr, A1s) + mmT(Ti, A1c)
+        absq = Mr * Mr + Mi * Mi
+        if with_grad:
+            ph = -jnp.arctan2(Mi, Mr)
+            ggx, ggy = _np_gradient_2d(ph)
+        for i in range(ws.shape[0]):
+            better = absq[i] > best_absq
+            best_absq = jnp.where(better, absq[i], best_absq)
+            best_lockin = jnp.where(
+                better, jax.lax.complex(Mr[i], Mi[i]), best_lockin)
+            best_idx = jnp.where(better, base_idx + i, best_idx)
+            if with_grad:
+                gi = jnp.stack([ggx[i], ggy[i]], axis=-1)
+                best_grad = jnp.where(better[..., None], gi, best_grad)
+        return (best_absq, best_lockin, best_idx, best_grad), None
+
+    base_idx = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
+    init = (jnp.zeros((n, m), rdt),
+            jnp.zeros((n, m), spectrum.dtype),
+            jnp.zeros((n, m), jnp.int32),
+            jnp.zeros((n, m, 2), rdt) if with_grad else jnp.zeros((0,), rdt))
+    return jax.lax.scan(body, init, (wl, base_idx))[0]
+
+
 def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
-              continuity_dk=None, chunk=8, spectrum=None):
+              continuity_dk=None, chunk=8, spectrum=None, zoom="auto"):
     """Run a WFR sweep over candidate vectors `wlist` rebased to `kref`.
 
     Parameters
@@ -196,9 +313,19 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
             spectrum, wlist, float(sigma), with_grad, float(continuity_dk))
         w_field = best_w
     else:
-        best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_chunked(
-            spectrum, wlist, float(sigma), with_grad,
-            int(min(chunk, wlist.shape[0])))
+        plan = None
+        if zoom == "auto" and not isinstance(wlist, jax.core.Tracer):
+            plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+        if plan is not None:
+            best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_zoom(
+                spectrum, jnp.asarray(wlist), jnp.asarray(plan[0]),
+                jnp.asarray(plan[1]), float(sigma), with_grad,
+                int(min(chunk, wlist.shape[0])))
+        else:
+            best_absq, best_lockin, best_idx, best_grad = \
+                _wfr_sweep_chunked(
+                    spectrum, wlist, float(sigma), with_grad,
+                    int(min(chunk, wlist.shape[0])))
         # table gather only when the caller wants the k-map (skipped on
         # the pipeline hot path)
         w_field = wlist.astype(rdt)[best_idx] if with_w else None
