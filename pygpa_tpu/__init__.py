@@ -32,4 +32,10 @@ from . import props  # noqa: F401
 from . import ucell  # noqa: F401
 from . import parallel  # noqa: F401
 from . import imagetools  # noqa: F401
-from .core import mathtools  # noqa: F401
+# pyGPA module-path compatibility surface
+from . import mathtools  # noqa: F401
+from . import geometric_phase_analysis  # noqa: F401
+from . import phase_unwrap  # noqa: F401
+from . import property_extract  # noqa: F401
+from . import unit_cell_averaging  # noqa: F401
+from . import tpugpa  # noqa: F401

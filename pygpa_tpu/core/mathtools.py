@@ -87,6 +87,19 @@ def _fit_plane_irls(image, mask, f_scale, iters):
     return jax.lax.fori_loop(0, iters, body, p0)
 
 
+def lfit_func(x, image, xx, yy):
+    """Plane residuals (mathtools.py:20-23)."""
+    ax, ay, b = x
+    return jnp.ravel(image - (ax * xx + ay * yy + b))
+
+
+def lfit_func_mask(x, image, xx, yy, mask):
+    """Masked plane residuals (mathtools.py:25-27)."""
+    ax, ay, b = x
+    return jnp.ravel(jnp.where(mask, image - (ax * xx + ay * yy + b),
+                               0.0))
+
+
 def fit_plane(image, verbose=False, iters=60, f_scale=1.0):
     """Fit a plane a0*x + a1*y + a2 through `image` with Huber loss.
 

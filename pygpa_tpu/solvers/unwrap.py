@@ -85,8 +85,8 @@ def _cg_unwrap(rk0, WWx, WWy, kmax):
     state = (jnp.zeros_like(rk0), rk0, jnp.zeros_like(rk0),
              jnp.ones((), dt), jnp.zeros((), jnp.int32),
              jnp.all(rk0 == 0.0))
-    phi, rk, *_ = jax.lax.while_loop(cond, body, state)
-    return phi
+    phi, rk, _, _, k, _ = jax.lax.while_loop(cond, body, state)
+    return phi, k
 
 
 def _residual(dx, dy, weight):
@@ -107,22 +107,26 @@ def _residual(dx, dy, weight):
     return rk, WWx, WWy
 
 
-def phase_unwrap(psi, weight=None, kmax=100):
+def phase_unwrap(psi, weight=None, kmax=100, return_iters=False):
     """Unwrap the phase image `psi` given `weight`.
 
     Drop-in for pyGPA.phase_unwrap.phase_unwrap (phase_unwrap.py:
     141-208): canonically psi is the angle and weight the magnitude of
     a complex lock-in signal. kmax bounds the CG iterations (static for
-    jit). Batched over leading axes.
+    jit). Batched over leading axes. With return_iters=True also
+    returns the CG iteration count as a value (the TPU-native
+    replacement of the reference's debug print at phase_unwrap.py:77).
     """
     psi = jnp.asarray(psi)
     dx = wrap_to_pi(jnp.diff(psi, axis=-1))
     dy = wrap_to_pi(jnp.diff(psi, axis=-2))
     rk, WWx, WWy = _residual(dx, dy, weight)
-    return _cg_unwrap(rk, WWx, WWy, int(kmax))
+    phi, k = _cg_unwrap(rk, WWx, WWy, int(kmax))
+    return (phi, k) if return_iters else phi
 
 
-def phase_unwrap_prediff(dx, dy, weight=None, kmax=100):
+def phase_unwrap_prediff(dx, dy, weight=None, kmax=100,
+                         return_iters=False):
     """Unwrap from phase gradients dx = diff(psi, axis=-1) (N, M-1) and
     dy = diff(psi, axis=-2) (N-1, M). Drop-in for
     pyGPA.phase_unwrap.phase_unwrap_prediff (phase_unwrap.py:282-350);
@@ -131,4 +135,47 @@ def phase_unwrap_prediff(dx, dy, weight=None, kmax=100):
     dx = wrap_to_pi(jnp.asarray(dx))
     dy = wrap_to_pi(jnp.asarray(dy))
     rk, WWx, WWy = _residual(dx, dy, weight)
-    return _cg_unwrap(rk, WWx, WWy, int(kmax))
+    phi, k = _cg_unwrap(rk, WWx, WWy, int(kmax))
+    return (phi, k) if return_iters else phi
+
+
+# --- pyGPA.phase_unwrap API-parity surface -------------------------------
+# The reference exposes non-precomputed "reference implementations" and
+# the solver internals (phase_unwrap.py:26-138); on TPU the optimized
+# and reference paths are the same compiled program.
+
+def _wrapToPi(x):
+    """(phase_unwrap.py:135-138)."""
+    return wrap_to_pi(x)
+
+
+def phase_unwrap_ref(psi, weight=None, kmax=100):
+    """Non-precomputed reference variant (phase_unwrap.py:26-78) —
+    same solver here."""
+    return phase_unwrap(psi, weight, kmax)
+
+
+def phase_unwrap_ref_prediff(dx, dy, weight=None, kmax=100):
+    """(phase_unwrap.py:211-279) — same solver here."""
+    return phase_unwrap_prediff(dx, dy, weight, kmax)
+
+
+def solvePoisson(rho):
+    """(phase_unwrap.py:81-92)."""
+    return solve_poisson(rho)
+
+
+def precomp_Poissonscaling(rho):
+    """(phase_unwrap.py:106-115)."""
+    rho = jnp.asarray(rho)
+    return _poisson_scale(rho.shape[-2:], rho.dtype)
+
+
+def solvePoisson_precomped(rho, scale):
+    """(phase_unwrap.py:95-103)."""
+    return idct2n(dct2n(jnp.asarray(rho)) / scale)
+
+
+def applyQ(p, WWx, WWy):
+    """(phase_unwrap.py:118-132)."""
+    return _apply_q(jnp.asarray(p), jnp.asarray(WWx), jnp.asarray(WWy))

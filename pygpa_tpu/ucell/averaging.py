@@ -45,6 +45,25 @@ def float_overlap(f):
     return A[:, 0] * jnp.expand_dims(A[:, 1], 1)
 
 
+def add_to_position(value, R, res, weights):
+    """Functional scatter of one drizzle sample: returns (res, weights)
+    with `value` bilinearly distributed at fractional position R —
+    the per-pixel primitive of the reference (unit_cell_averaging.py:
+    208-217), exposed for API parity. The batched pipeline uses the
+    fused scatter in unit_cell_average instead."""
+    R = jnp.asarray(R)
+    Rf = jnp.floor(R)
+    overlap = float_overlap(R - Rf)
+    Ri = Rf.astype(jnp.int32)
+    for li in range(2):
+        for lj in range(2):
+            res = res.at[Ri[0] + li, Ri[1] + lj].add(
+                value * overlap[li, lj], mode="drop")
+            weights = weights.at[Ri[0] + li, Ri[1] + lj].add(
+                overlap[li, lj], mode="drop")
+    return res, weights
+
+
 def calc_ucell_parameters(ks, z):
     """Bounding box (rmin, rsize) of the unit cell spanned by ks,
     zoomed by z (unit_cell_averaging.py:45-53). Host-side: rsize
