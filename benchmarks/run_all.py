@@ -1,0 +1,157 @@
+"""The five BASELINE.json benchmark configs, one JSON line each.
+
+Run on the TPU: python benchmarks/run_all.py [--configs 1,2,3,4,5]
+
+bench.py at the repo root remains the headline single-line metric
+(full pipeline at 4096^2); this suite covers the whole BASELINE grid:
+ 1. 512^2 hexagonal lattice, fixed ks: basic GPA + displacement field
+ 2. 1024^2 small-angle moire: WFR reference-vector sweep pipeline
+ 3. 2048^2 distorted lattice: weighted unwrap + Lawler-Fujita
+ 4. 4096^2 TBG moire: unit-cell averaging + full-image reconstruction
+ 5. 8k^2 mosaic as 4x(4096^2) tiles: batched property extraction
+"""
+import argparse
+import json
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps=3):
+    out = fn(*args)
+    import jax
+    jax.block_until_ready(out)
+    # force a real sync through a scalar fetch (block_until_ready is
+    # unreliable on tunneled platforms)
+    float(np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+          .ravel()[0].real)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    float(np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
+          .ravel()[0].real)
+    return (time.perf_counter() - t0) / reps
+
+
+def config1():
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+    size = 512
+    img = hexlattice_gen(0.1, 7.0, order=2, size=size, dtype=jnp.float32)
+    ks = np.asarray(generate_ks(0.1, 7.0))[:3]
+    fn = make_displacement_extractor((size, size), ks)
+    dt = _timeit(fn, img)
+    return "basic GPA + displacement field, 512^2", size * size / 1e6 / dt
+
+def config2():
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+    size = 1024
+    r_k = 0.015  # small-angle moire
+    img = hexlattice_gen(r_k, 3.0, order=2, size=size, dtype=jnp.float32)
+    ks = np.asarray(generate_ks(r_k, 3.0))[:3]
+    fn = make_displacement_extractor((size, size), ks)
+    dt = _timeit(fn, img)
+    return "WFR sweep pipeline, 1024^2 small-angle moire", \
+        size * size / 1e6 / dt
+
+def config3():
+    import jax
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen
+    from pygpa_tpu.solvers.unwrap import phase_unwrap
+    from pygpa_tpu.gpa.pipeline import undistort_image
+    size = 2048
+    S = size // 2
+    xp, yp = np.meshgrid(np.arange(-S, S), np.arange(-S, S),
+                         indexing="ij")
+    u = np.stack([3.0 * np.exp(-((xp / 400.) ** 2 + (yp / 500.) ** 2)),
+                  np.zeros((size, size))]).astype(np.float32)
+    img = hexlattice_gen(0.08, 5.0, order=2, size=size,
+                         shift=u, dtype=jnp.float32)
+    uj = jax.device_put(jnp.asarray(u))
+    psi = jnp.asarray((0.05 * np.asarray(xp + yp)).astype(np.float32))
+    w = jnp.abs(img)
+
+    @jax.jit
+    def step(img, uj, psi, w):
+        phi = phase_unwrap(psi, w, kmax=25)
+        rec = undistort_image(img, uj)
+        return phi, rec
+
+    dt = _timeit(step, img, uj, psi, w)
+    return "weighted unwrap + Lawler-Fujita, 2048^2", \
+        size * size / 1e6 / dt
+
+def config4():
+    import jax
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ucell.averaging import (_drizzle,
+                                           calc_ucell_parameters)
+    from pygpa_tpu.ucell import expand_unitcell
+    size = 4096
+    r_k = 0.02
+    img = hexlattice_gen(r_k, 5.0, order=2, size=size, dtype=jnp.float32)
+    ks2 = np.asarray(generate_ks(r_k, 5.0))[:2]
+    rmin, rsize = calc_ucell_parameters(ks2, 2)
+    u0 = jnp.zeros((2, size, size), jnp.float32)
+
+    @jax.jit
+    def step(img, u0):
+        cell, wsum = _drizzle(img, u0, jnp.asarray(ks2, jnp.float32),
+                              tuple(rmin), tuple(int(r) for r in rsize),
+                              2)
+        rec = expand_unitcell(cell, ks2, (size, size), z=2)
+        return rec
+
+    dt = _timeit(step, img, u0)
+    return "unit-cell average + reconstruction, 4096^2", \
+        size * size / 1e6 / dt
+
+def config5():
+    import jax
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+    from pygpa_tpu.props.jacobians import (u2J, props_from_Jac)
+    # 8k^2 mosaic = 4 tiles of 4096^2, vmapped
+    tile = 4096
+    r_k = 0.02
+    img = hexlattice_gen(r_k, 5.0, order=2, size=tile, dtype=jnp.float32)
+    tiles = jnp.stack([img, img[::-1], img[:, ::-1], img[::-1, ::-1]])
+    ks = np.asarray(generate_ks(r_k, 5.0))[:3]
+    extract = make_displacement_extractor((tile, tile), ks, chunk=4)
+
+    @jax.jit
+    def step(tiles):
+        def one(t):
+            u = extract(t)
+            J = u2J(u, 1.0)
+            return props_from_Jac(J + jnp.eye(2))
+        return jax.lax.map(one, tiles)
+
+    dt = _timeit(step, tiles, reps=2)
+    return "batched property extraction, 8k^2 mosaic (4 tiles)", \
+        4 * tile * tile / 1e6 / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="1,2,3,4,5")
+    args = p.parse_args()
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+    for c in args.configs.split(","):
+        name, mpix = fns[c]()
+        print(json.dumps({"config": int(c), "metric": name,
+                          "value": round(mpix, 2), "unit": "Mpix/s"}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..core import interp
 from ..core.fourier import fourier_gaussian_multiplier, wiener_deconvolve
 from ..ops.wfr import wfr_sweep
-from .reconstruct import reconstruct_u_inv_from_phases
+from .reconstruct import (reconstruct_u_inv_from_phases,
+                          reconstruct_u_inv_from_demod)
 
 
 def invert_u(us, iters=35, edge=0, mode="nearest", order=3):
@@ -127,21 +128,28 @@ def make_displacement_extractor(shape, kvecs, sigma=None, kwscale=2.5,
     def run(image):
         image = image.astype(dtype)
         img0 = image - image.mean()
-        spectrum = jnp.fft.fft2(img0)
-        lockins = []
+        with jax.named_scope("gpa.spectrum"):
+            spectrum = jnp.fft.fft2(img0)
+        lockins, absqs = [], []
         for i in range(len(wlists)):
-            g = wfr_sweep(img0, wlists[i], kv[i], sig, chunk=chunk,
-                          with_w=False, spectrum=spectrum)
+            with jax.named_scope(f"gpa.wfr_sweep_{i}"):
+                g = wfr_sweep(img0, wlists[i], kv[i], sig, chunk=chunk,
+                              with_w=False, rebase=False,
+                              return_absq=True, spectrum=spectrum)
             lockins.append(g["lockin"])
+            absqs.append(g["absq"])
         lockins = jnp.stack(lockins)
-        phases = jnp.angle(lockins)
-        mask = jnp.zeros(shape, dtype)
-        mask = mask.at[dr:-dr, dr:-dr].set(1.0)
-        weights = jnp.abs(lockins) * (mask + 1e-6)
-        u = reconstruct_u_inv_from_phases(kv, phases, weights,
-                                          kmax=unwrap_kmax)
+        with jax.named_scope("gpa.weights"):
+            phases_demod = jnp.angle(lockins)
+            mask = jnp.zeros(shape, dtype)
+            mask = mask.at[dr:-dr, dr:-dr].set(1.0)
+            weights = jnp.sqrt(jnp.stack(absqs)) * (mask + 1e-6)
+        with jax.named_scope("gpa.reconstruct"):
+            u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
+                                             kmax=unwrap_kmax)
         if deconvolve:
-            u = gaussian_deconvolve(u, sig, dr)
+            with jax.named_scope("gpa.deconvolve"):
+                u = gaussian_deconvolve(u, sig, dr)
         return u
 
     return run

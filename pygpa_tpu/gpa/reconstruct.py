@@ -79,6 +79,29 @@ def reconstruct_u_inv_from_phases(kvecs, phases, weights,
     return unwrap(dudx, dudy)
 
 
+def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10):
+    """Reconstruction from *demodulated* WFR phases (phase measured
+    relative to each k's own plane wave, i.e. full phase =
+    phases_demod + 2 pi k . r). The plane-wave ramp enters the wrapped
+    phase differences only as a constant per-axis shift, so the
+    full-size complex rebase of the lock-in signals is skipped — the
+    fast path used by make_displacement_extractor. Mathematically
+    identical to reconstruct_u_inv_from_phases on rebased phases."""
+    kvecs = jnp.asarray(kvecs)
+    phases_demod = jnp.asarray(phases_demod)
+    K = 2 * jnp.pi * kvecs
+    dbdx = wrap_to_pi(jnp.diff(phases_demod, axis=2)
+                      + K[:, 1, None, None])
+    dbdy = wrap_to_pi(jnp.diff(phases_demod, axis=1)
+                      + K[:, 0, None, None])
+    dudx = weighted_lstsq_stack(dbdx, K, weights[:, :, : dbdx.shape[2]])
+    dudy = weighted_lstsq_stack(dbdy, K, weights[:, : dbdy.shape[1], :])
+    wnorm = jnp.linalg.norm(weights, axis=0)
+    unwrap = jax.vmap(lambda dx, dy: phase_unwrap_prediff(
+        dx, dy, wnorm, kmax=kmax))
+    return unwrap(dudx, dudy)
+
+
 def iterate_GPA(image, kvecs, sigma, edge=5, iters=3,
                 kmax_iter=25, kmax=200, verbose=False):
     """Iteratively refine the reference k-vectors: lock-in -> unwrap ->

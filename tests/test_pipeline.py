@@ -71,3 +71,17 @@ def test_reconstruct_u_inv_consistency(testset_gaussian, gaussiandeform):
     resid = (us - (-gaussiandeform))[center]
     assert np.abs(resid - resid.mean(axis=(1, 2), keepdims=True)).max() \
         < 1e-6
+
+
+def test_factory_matches_eager(testset_gaussian):
+    """make_displacement_extractor (demod fast path, one executable)
+    equals extract_displacement_field (rebased path) exactly."""
+    import numpy as np
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+    original, deformed, noise, ori_ks = testset_gaussian
+    ks = ori_ks[:3]
+    fn = make_displacement_extractor(deformed.shape, ks,
+                                     dtype=np.float64)
+    u_fact = np.array(fn(deformed))
+    u_eager = np.array(gpa.extract_displacement_field(deformed, ks))
+    assert np.allclose(u_fact, u_eager, atol=1e-9)
