@@ -80,11 +80,11 @@ def config3():
     @jax.jit
     def step(img, uj, psi, w):
         phi = phase_unwrap(psi, w, kmax=25)
-        rec = undistort_image(img, uj)
+        rec = undistort_image(img, uj, coarse=4)
         return phi, rec
 
     dt = _timeit(step, img, uj, psi, w)
-    return "weighted unwrap + Lawler-Fujita, 2048^2", \
+    return "weighted unwrap + Lawler-Fujita (coarse inversion), 2048^2", \
         size * size / 1e6 / dt
 
 def config4():
@@ -118,7 +118,7 @@ def config5():
     import jax.numpy as jnp
     from pygpa_tpu.lattices import hexlattice_gen, generate_ks
     from pygpa_tpu.gpa.pipeline import make_displacement_extractor
-    from pygpa_tpu.props.jacobians import (u2J, props_from_Jac)
+    from pygpa_tpu.props.jacobians import props_from_u
     # 8k^2 mosaic = 4 tiles of 4096^2, vmapped
     tile = 4096
     r_k = 0.02
@@ -131,8 +131,7 @@ def config5():
     def step(tiles):
         def one(t):
             u = extract(t)
-            J = u2J(u, 1.0)
-            return props_from_Jac(J + jnp.eye(2))
+            return props_from_u(u, 1.0)
         return jax.lax.map(one, tiles)
 
     dt = _timeit(step, tiles, reps=2)

@@ -43,11 +43,20 @@ def invert_u(us, iters=35, edge=0, mode="nearest", order=3):
     return jax.lax.fori_loop(0, iters, body, u0)
 
 
-def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3):
+def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
+                     coarse=1, refine_iters=8):
     """invert_u with an `edge`-wide overlap border so the inverse
     covers as much of the original image as possible
     (geometric_phase_analysis.py:262-300). Output is
-    (2, N+2*edge, M+2*edge)."""
+    (2, N+2*edge, M+2*edge).
+
+    TPU note: per-pixel gathers (the resampling inside the fixed-point
+    loop) are the slowest primitive on TPU. With coarse > 1 the
+    iteration runs on a `coarse`-x downsampled grid (u is smooth — it
+    comes out of a sigma-wide lock-in window), the result is upsampled
+    gather-free (jax.image.resize), and `refine_iters` full-resolution
+    iterations polish the fixed point. coarse=1 (default) reproduces
+    the reference exactly."""
     us = jnp.asarray(us)
     n, m = us.shape[1], us.shape[2]
     xx, yy = jnp.mgrid[-edge: n + edge, -edge: m + edge]
@@ -61,6 +70,26 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3):
             interp.map_coordinates(us[1], coords, order=order, mode=mode),
         ])
 
+    if coarse > 1:
+        c = int(coarse)
+        usc = us[:, ::c, ::c] / c  # displacements in coarse pixels
+        uc = invert_u(usc, iters=iters, edge=0, mode=mode, order=1)
+        u0 = jax.image.resize(uc * c, (2, n, m), method="linear")
+        if edge > 0:
+            u0 = jnp.pad(u0, ((0, 0), (edge, edge), (edge, edge)),
+                         mode="edge")
+
+        def body1(_, u_it):
+            # bilinear refinement: u is smooth, cubic gains nothing
+            # (verified) and quadruples the gather count
+            coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
+            return jnp.stack([
+                interp.map_coordinates(us[0], coords, order=1, mode=mode),
+                interp.map_coordinates(us[1], coords, order=1, mode=mode),
+            ])
+
+        return jax.lax.fori_loop(0, refine_iters, body1, u0)
+
     base = jnp.stack([
         interp.map_coordinates(us[0], jnp.stack([xx, yy]), order=order,
                                mode=mode),
@@ -70,13 +99,15 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3):
     return jax.lax.fori_loop(0, iters, body, base)
 
 
-def undistort_image(deformed, u, order=3):
+def undistort_image(deformed, u, order=3, coarse=1, invert_iters=35):
     """Lawler-Fujita undistortion: invert -u, then resample the
     deformed image at r + u_inv (geometric_phase_analysis.py:935-974).
-    """
+    `coarse` > 1 runs the displacement inversion on a downsampled grid
+    (see invert_u_overlap) — a large TPU speedup for smooth u at
+    unchanged reconstruction accuracy (verified in tests)."""
     deformed = jnp.asarray(deformed)
     u = jnp.asarray(u)
-    u_inv = invert_u_overlap(-u)
+    u_inv = invert_u_overlap(-u, iters=invert_iters, coarse=coarse)
     xx, yy = jnp.mgrid[: u.shape[1], : u.shape[2]]
     coords = jnp.stack([xx.astype(u.dtype) + u_inv[0],
                         yy.astype(u.dtype) + u_inv[1]])

@@ -2,7 +2,7 @@
 (twist angle, anisotropy, heterostrain) and Kerelsky-style moire
 parameter fits."""
 from .jacobians import (  # noqa: F401
-    svd2x2, u2J, u2Jac, phases2J, phases2Jac,
+    svd2x2, svd2x2_planes, props_from_planes, props_from_u, u2J_planes, u2J, u2Jac, phases2J, phases2Jac,
     phasegradient2J, phasegradient2Jac, kvecs2J, kvecs2Jac,
     props_from_Jac, phys_props_from_Jac, props_from_J, props_from_J_old,
     calc_props_from_phasegradient, calc_props_from_phases,

@@ -22,6 +22,84 @@ from ..lattices.generate import generate_ks
 from ..ops.wfr import _np_gradient_2d
 
 
+def svd2x2_planes(a, b, c, d):
+    """Closed-form 2x2 SVD on separate component planes
+    (a=A00, b=A01, c=A10, d=A11). Returns
+    ((u00,u01,u10,u11), (s0,s1), (v00,v01,v10,v11)) — all elementwise
+    arrays. TPU note: trailing (...,2,2) dims tile-pad 64x in HBM, so
+    big property fields must stay in plane layout end to end."""
+    E = (a + d) * 0.5
+    F = (a - d) * 0.5
+    G = (c + b) * 0.5
+    H = (c - b) * 0.5
+    Q = jnp.hypot(E, H)
+    R = jnp.hypot(F, G)
+    sx = Q + R
+    det = a * d - b * c
+    sy = jnp.where(sx > 0, det / jnp.where(sx > 0, sx, 1.0), 0.0)
+    a1 = jnp.arctan2(G, F)
+    a2 = jnp.arctan2(H, E)
+    theta_u = (a2 + a1) * 0.5
+    theta_v = (a1 - a2) * 0.5
+    cu, su = jnp.cos(theta_u), jnp.sin(theta_u)
+    cv, sv = jnp.cos(theta_v), jnp.sin(theta_v)
+    sgn = jnp.where(sy < 0, -1.0, 1.0).astype(sx.dtype)
+    u = (cu, su, su, -cu)
+    vh = (cv, sv, sgn * sv, -sgn * cv)
+    return u, (sx, jnp.abs(sy)), vh
+
+
+def _props_core(a, b, c, d, refangle=0.0, refscale=1.0, diff=False,
+                phys=False, poisson_ratio=0.16):
+    """Shared plane-based property decomposition
+    (property_extract.py:137-217): the sign-fixed SVD algebra on
+    component planes."""
+    (u00, u01, u10, u11), (s0, s1), (v00, v01, v10, v11) = \
+        svd2x2_planes(a, b, c, d)
+    # signs = sign(diag(u)); v <- column-scaled; u <- (signs*u)^T
+    g0 = jnp.sign(u00)
+    g1 = jnp.sign(u11)
+    w00, w01 = g0 * v00, g1 * v01
+    w10, w11 = g0 * v10, g1 * v11
+    t00, t01 = g0 * u00, g0 * u10   # transposed, column-scaled u
+    t10, t11 = g1 * u01, g1 * u11
+    # u_p = (u_new @ v_new)^T ; need [0,0] and [1,0] of u_p
+    up00 = t00 * w00 + t01 * w10
+    up10 = t00 * w01 + t01 * w11   # (u@v)[0,1] -> transposed [1,0]
+    angle = jnp.rad2deg(jnp.arctan2(up10, up00))
+    aniangle = jnp.rad2deg(jnp.arctan2(t10, t00))
+    if phys:
+        delta = poisson_ratio
+        fourth = (s0 - s1) / (s0 + delta * s1)
+        if diff:
+            aniangle = aniangle + 90
+            alpha = s0 / (1 + fourth)
+        else:
+            alpha = s1 * (1 + fourth)
+    else:
+        fourth = s0 / s1
+        if diff:
+            aniangle = aniangle + 90
+            alpha = s0
+        else:
+            alpha = s1
+    aniangle = aniangle % 180
+    return jnp.stack(jnp.broadcast_arrays(angle + refangle, aniangle,
+                                          alpha * refscale, fourth))
+
+
+def props_from_planes(J00, J01, J10, J11, refangle=0.0, refscale=1.0,
+                      diff=False, decomposition=None,
+                      poisson_ratio=0.16, jac=False):
+    """props_from_Jac on component planes — the layout big fields must
+    use on TPU. With jac=False the planes are J (I is added here)."""
+    eye = 0.0 if jac else 1.0
+    return _props_core(J00 + eye, J01, J10, J11 + eye,
+                       refangle=refangle, refscale=refscale, diff=diff,
+                       phys=(decomposition == "physical"),
+                       poisson_ratio=poisson_ratio)
+
+
 def svd2x2(A):
     """Closed-form SVD of a (..., 2, 2) stack.
 
@@ -64,39 +142,18 @@ def svd2x2(A):
     return u, s, vh
 
 
-def _signed_factors(Jac):
-    """The reference's sign-fixed factors (property_extract.py:163-167):
-    signs = sign(diag(u)); v <- signs * v (column scaling);
-    u <- (signs * u)^T."""
-    u, s, v = svd2x2(Jac)
-    diag = jnp.stack([u[..., 0, 0], u[..., 1, 1]], -1)
-    signs = jnp.sign(diag)[..., None, :]
-    v = signs * v
-    u = jnp.swapaxes(signs * u, -1, -2)
-    return u, s, v
-
-
 def props_from_Jac(Jac, refangle=0.0, refscale=1.0, diff=False):
     """Local lattice properties from a (stack of) 2x2 Jacobian(s)
     (property_extract.py:137-178).
 
     Returns [angle (deg), anisotropy angle (deg, mod 180),
     scale alpha, anisotropy kappa] stacked on a new leading axis.
+    Internally unpacks to component planes immediately (TPU layout).
     """
     Jac = jnp.asarray(Jac)
-    u, s, v = _signed_factors(Jac)
-    u_p = jnp.swapaxes(u @ v, -1, -2)
-    angle = jnp.rad2deg(jnp.arctan2(u_p[..., 1, 0], u_p[..., 0, 0]))
-    aniangle = jnp.rad2deg(jnp.arctan2(u[..., 1, 0], u[..., 0, 0]))
-    if diff:
-        aniangle = aniangle + 90
-        alpha = s[..., 0]
-    else:
-        alpha = s[..., 1]
-    kappa = s[..., 0] / s[..., 1]
-    aniangle = aniangle % 180
-    return jnp.stack(jnp.broadcast_arrays(angle + refangle, aniangle,
-                                          alpha * refscale, kappa))
+    return _props_core(Jac[..., 0, 0], Jac[..., 0, 1],
+                       Jac[..., 1, 0], Jac[..., 1, 1],
+                       refangle=refangle, refscale=refscale, diff=diff)
 
 
 def phys_props_from_Jac(Jac, refangle=0.0, refscale=1.0, diff=False,
@@ -105,20 +162,10 @@ def phys_props_from_Jac(Jac, refangle=0.0, refscale=1.0, diff=False,
     (property_extract.py:181-217). Returns
     [angle, strain angle, alpha, epsilon]."""
     Jac = jnp.asarray(Jac)
-    u, s, v = _signed_factors(Jac)
-    u_p = jnp.swapaxes(u @ v, -1, -2)
-    angle = jnp.rad2deg(jnp.arctan2(u_p[..., 1, 0], u_p[..., 0, 0]))
-    aniangle = jnp.rad2deg(jnp.arctan2(u[..., 1, 0], u[..., 0, 0]))
-    delta = poisson_ratio
-    epsilon = (s[..., 0] - s[..., 1]) / (s[..., 0] + delta * s[..., 1])
-    if diff:
-        aniangle = aniangle + 90
-        alpha = s[..., 0] / (1 + epsilon)
-    else:
-        alpha = s[..., 1] * (1 + epsilon)
-    aniangle = aniangle % 180
-    return jnp.stack(jnp.broadcast_arrays(angle + refangle, aniangle,
-                                          alpha * refscale, epsilon))
+    return _props_core(Jac[..., 0, 0], Jac[..., 0, 1],
+                       Jac[..., 1, 0], Jac[..., 1, 1],
+                       refangle=refangle, refscale=refscale, diff=diff,
+                       phys=True, poisson_ratio=poisson_ratio)
 
 
 def props_from_J(J, refangle=0.0, refscale=1.0):
@@ -137,9 +184,30 @@ def props_from_J_old(J):
             s[..., 0] / s[..., 1]]
 
 
+def u2J_planes(U, nmperpixel):
+    """u2J in component-plane layout: returns (J00, J01, J10, J11)
+    with J[c, d] = d(-U_c)/d(x_d) / nmperpixel."""
+    U = jnp.asarray(U)
+    gx, gy = _np_gradient_2d(-U)
+    return (gx[0] / nmperpixel, gy[0] / nmperpixel,
+            gx[1] / nmperpixel, gy[1] / nmperpixel)
+
+
+def props_from_u(U, nmperpixel, refangle=0.0, refscale=1.0, diff=False,
+                 decomposition=None):
+    """Local properties directly from a displacement field, entirely in
+    plane layout (no (N, M, 2, 2) materialization — 64x tile padding
+    on TPU makes that layout prohibitive for large fields)."""
+    J00, J01, J10, J11 = u2J_planes(U, nmperpixel)
+    return props_from_planes(J00, J01, J10, J11, refangle=refangle,
+                             refscale=refscale, diff=diff,
+                             decomposition=decomposition)
+
+
 def u2J(U, nmperpixel):
     """J (= -grad u) field from a displacement field (2, N, M)
-    (property_extract.py:13-19)."""
+    (property_extract.py:13-19). For large fields prefer u2J_planes /
+    props_from_u (layout note there)."""
     U = jnp.asarray(U)
     gx, gy = _np_gradient_2d(-U)
     J = jnp.stack([gx, gy], axis=-1) / nmperpixel

@@ -85,3 +85,16 @@ def test_factory_matches_eager(testset_gaussian):
     u_fact = np.array(fn(deformed))
     u_eager = np.array(gpa.extract_displacement_field(deformed, ks))
     assert np.allclose(u_fact, u_eager, atol=1e-9)
+
+
+def test_reconstruction_coarse_inversion(testset_gaussian,
+                                         gaussiandeform):
+    """The coarse-grid displacement inversion (TPU fast path) must meet
+    the same reference tolerance as the exact path."""
+    import numpy as np
+    original, deformed, noise, ori_ks = testset_gaussian
+    rec = np.array(gpa.undistort_image(deformed, gaussiandeform,
+                                       coarse=4))
+    err = np.abs(rec - original) / np.abs(original).max()
+    print("coarse=4 reconstruction max rel err:", err.max())
+    assert np.all(err[1:-1, 1:-1] < 0.02)

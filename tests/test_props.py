@@ -145,3 +145,18 @@ def test_u2J_and_phases2J_consistency(gaussiandeform):
     J_p = np.asarray(pe.phases2J(jnp.asarray(ks), jnp.asarray(phases),
                                  jnp.asarray(weights), 1.0))
     assert np.allclose(J_u[2:-2, 2:-2], J_p[2:-2, 2:-2], atol=1e-6)
+
+
+def test_plane_layout_matches_jac_layout():
+    """props_from_planes / props_from_u == props_from_Jac / u2J path
+    (the plane layout avoids TPU's 64x trailing-dim tile padding)."""
+    import pygpa_tpu.props as pe2
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=(2, 24, 24)).cumsum(axis=1) * 0.01
+    J = np.asarray(pe2.u2J(jnp.asarray(u), 2.0))
+    p_jac = np.asarray(pe2.props_from_Jac(jnp.asarray(J) + jnp.eye(2)))
+    p_pl = np.asarray(pe2.props_from_u(jnp.asarray(u), 2.0))
+    assert np.allclose(p_jac, p_pl, atol=1e-10)
+    planes = pe2.u2J_planes(jnp.asarray(u), 2.0)
+    p_pl2 = np.asarray(pe2.props_from_planes(*planes))
+    assert np.allclose(p_jac, p_pl2, atol=1e-10)
