@@ -20,18 +20,21 @@ import numpy as np
 
 
 def _timeit(fn, *args, reps=3):
-    out = fn(*args)
     import jax
-    jax.block_until_ready(out)
-    # force a real sync through a scalar fetch (block_until_ready is
-    # unreliable on tunneled platforms)
-    float(np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
-          .ravel()[0].real)
+    import jax.numpy as jnp
+
+    def sync(out):
+        # on-device scalar reduction, then a 4-byte fetch: a full
+        # device_get would time the host transfer, and
+        # block_until_ready is unreliable on tunneled platforms
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(jnp.abs(leaf)).astype(jnp.float32))
+
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    float(np.asarray(jax.device_get(jax.tree.leaves(out)[0]))
-          .ravel()[0].real)
+    sync(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -16,6 +16,7 @@ Reference behavior replaced:
    (used at /root/reference/pyGPA/geometric_phase_analysis.py:901-903)
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -41,13 +42,86 @@ def fourier_gaussian_multiplier(shape, sigma, dtype=jnp.float32,
     return jnp.exp(-s2 * arg)
 
 
+# --- MXU (matmul) FFT --------------------------------------------------
+# XLA's TPU FFT runs on the VPU at a fraction of peak; a radix-split
+# Cooley-Tukey FFT expressed as two batched matmuls against small DFT
+# matrices runs on the systolic array instead (~5x for the DCT sizes
+# the CG unwrapper uses). Exact to f32/f64 rounding (HIGHEST precision).
+
+_MXU_FFT_RADIX = 64
+_MXU_FFT_MIN = 512  # below this the VPU FFT wins (dispatch/GEMM setup)
+
+
+def _mxu_fft_supported(n):
+    return n >= _MXU_FFT_MIN and n % _MXU_FFT_RADIX == 0
+
+
+def _mxu_fft_factors(n, dtype, inverse):
+    n1 = _MXU_FFT_RADIX
+    n2 = n // n1
+    sgn = 2.0 if inverse else -2.0
+    a1 = sgn * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1
+    a2 = sgn * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
+    tw = sgn * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n
+    f = np.float64 if dtype == jnp.float64 else np.float32
+    return (np.cos(a1).astype(f), np.sin(a1).astype(f),
+            np.cos(a2).astype(f), np.sin(a2).astype(f),
+            np.cos(tw).astype(f), np.sin(tw).astype(f))
+
+
+def _mxu_fft_real(v):
+    """Forward FFT along the last axis of a real array via two MXU
+    matmuls (Cooley-Tukey n = 64 * n/64). Returns (Re F, Im F)."""
+    n = v.shape[-1]
+    dt = v.dtype
+    W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, False)
+    hi = jax.lax.Precision.HIGHEST
+    n1 = _MXU_FFT_RADIX
+    xr = v.reshape(v.shape[:-1] + (n1, n // n1))           # (j1, j2)
+    Ar = jnp.einsum("kj,...jm->...km", W1c, xr, precision=hi)
+    Ai = jnp.einsum("kj,...jm->...km", W1s, xr, precision=hi)
+    Br = Ar * Twc - Ai * Tws
+    Bi = Ar * Tws + Ai * Twc
+    Cr = (jnp.einsum("...kj,jm->...km", Br, W2c, precision=hi)
+          - jnp.einsum("...kj,jm->...km", Bi, W2s, precision=hi))
+    Ci = (jnp.einsum("...kj,jm->...km", Br, W2s, precision=hi)
+          + jnp.einsum("...kj,jm->...km", Bi, W2c, precision=hi))
+    # output index k = k1 + k2*n1 -> transpose (k2, k1) and flatten
+    out_shape = v.shape
+    Fr = jnp.swapaxes(Cr, -1, -2).reshape(out_shape)
+    Fi = jnp.swapaxes(Ci, -1, -2).reshape(out_shape)
+    return Fr, Fi
+
+
+def _mxu_ifft_real_out(Fr, Fi):
+    """Real part of the inverse FFT along the last axis of (Fr + i Fi),
+    via MXU matmuls (the final stage only computes the real part)."""
+    n = Fr.shape[-1]
+    dt = Fr.dtype
+    W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, True)
+    hi = jax.lax.Precision.HIGHEST
+    n1 = _MXU_FFT_RADIX
+    xr = Fr.reshape(Fr.shape[:-1] + (n1, n // n1))
+    xi = Fi.reshape(Fi.shape[:-1] + (n1, n // n1))
+    Ar = (jnp.einsum("kj,...jm->...km", W1c, xr, precision=hi)
+          - jnp.einsum("kj,...jm->...km", W1s, xi, precision=hi))
+    Ai = (jnp.einsum("kj,...jm->...km", W1s, xr, precision=hi)
+          + jnp.einsum("kj,...jm->...km", W1c, xi, precision=hi))
+    Br = Ar * Twc - Ai * Tws
+    Bi = Ar * Tws + Ai * Twc
+    vr = (jnp.einsum("...kj,jm->...km", Br, W2c, precision=hi)
+          - jnp.einsum("...kj,jm->...km", Bi, W2s, precision=hi))
+    return jnp.swapaxes(vr, -1, -2).reshape(Fr.shape) / n
+
+
 def dct2_1d(x):
     """Unnormalized DCT-II along the last axis (== scipy.fft.dct, norm=None).
 
     Makhoul's single-FFT algorithm: permute to v = [x0, x2, ..., x3, x1],
     FFT, twiddle by exp(-i pi k / 2n), keep 2*Re. For even lengths the
     even/odd split is a reshape (one layout pass) instead of two strided
-    gathers — strided memory ops are slow on TPU.
+    gathers — strided memory ops are slow on TPU. Radix-64-compatible
+    lengths use the MXU matmul FFT.
     """
     n = x.shape[-1]
     if n % 2 == 0:
@@ -57,10 +131,13 @@ def dct2_1d(x):
     else:
         v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]],
                             axis=-1)
-    # Full complex FFT: measured faster than rfft + Hermitian mirror on
-    # TPU (rfft lowers poorly there); CPU/f64 unaffected in accuracy.
-    F = jnp.fft.fft(v)
     k = jnp.arange(n, dtype=_real_dtype(x.dtype))
+    if _mxu_fft_supported(n):
+        Fr, Fi = _mxu_fft_real(v)
+        Wc = jnp.cos(jnp.pi * k / (2 * n))
+        Ws = jnp.sin(jnp.pi * k / (2 * n))
+        return 2 * (Fr * Wc + Fi * Ws)   # 2 Re(F * exp(-i pi k/2n))
+    F = jnp.fft.fft(v)
     W = jnp.exp(-1j * jnp.pi * k / (2 * n)).astype(F.dtype)
     return 2 * (F * W).real
 
@@ -71,6 +148,15 @@ def idct2_1d(y):
     k = jnp.arange(n, dtype=_real_dtype(y.dtype))
     # G_k = (y_k - i y_{n-k}) / 2 with y_n := 0
     ynk = jnp.concatenate([jnp.zeros_like(y[..., :1]), y[..., :0:-1]], axis=-1)
+    if _mxu_fft_supported(n):
+        Wc = jnp.cos(jnp.pi * k / (2 * n))
+        Ws = jnp.sin(jnp.pi * k / (2 * n))
+        Fr = (y * Wc + ynk * Ws) * 0.5
+        Fi = (y * Ws - ynk * Wc) * 0.5
+        v = _mxu_ifft_real_out(Fr, Fi)
+        half = (n + 1) // 2
+        return jnp.stack([v[..., :half], v[..., half:][..., ::-1]],
+                         axis=-1).reshape(y.shape)
     G = (y - 1j * ynk) * 0.5
     F = G * jnp.exp(1j * jnp.pi * k / (2 * n)).astype(G.dtype)
     v = jnp.fft.ifft(F).real
