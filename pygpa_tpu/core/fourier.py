@@ -173,14 +173,97 @@ def idct2_1d(y):
     return x
 
 
+# --- axis(-2) DCT without transposes ------------------------------------
+# Full-array (N, M) transposes are expensive relayouts on TPU; the MXU
+# contraction can run along the sublane axis directly, keeping the lane
+# (minor) dimension contiguous throughout.
+
+def _perm_axis2(x):
+    """Makhoul even/odd permutation along axis -2 (even length)."""
+    n = x.shape[-2]
+    pairs = x.reshape(x.shape[:-2] + (n // 2, 2, x.shape[-1]))
+    return jnp.concatenate([pairs[..., 0, :],
+                            jnp.flip(pairs[..., 1, :], axis=-2)], axis=-2)
+
+
+def _dct2_axis2_mxu(x):
+    """DCT-II along axis -2 via MXU matmuls, no full transposes."""
+    n = x.shape[-2]
+    dt = x.dtype
+    W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, False)
+    hi = jax.lax.Precision.HIGHEST
+    n1 = _MXU_FFT_RADIX
+    v = _perm_axis2(x)
+    xr = v.reshape(v.shape[:-2] + (n1, n // n1, v.shape[-1]))  # j1 j2 m
+    Ar = jnp.einsum("kj,...jnm->...knm", W1c, xr, precision=hi)
+    Ai = jnp.einsum("kj,...jnm->...knm", W1s, xr, precision=hi)
+    Tc = Twc[:, :, None]
+    Ts = Tws[:, :, None]
+    Br = Ar * Tc - Ai * Ts
+    Bi = Ar * Ts + Ai * Tc
+    Cr = (jnp.einsum("...kjm,jl->...klm", Br, W2c, precision=hi)
+          - jnp.einsum("...kjm,jl->...klm", Bi, W2s, precision=hi))
+    Ci = (jnp.einsum("...kjm,jl->...klm", Br, W2s, precision=hi)
+          + jnp.einsum("...kjm,jl->...klm", Bi, W2c, precision=hi))
+    # output index k = k1 + k2*n1: swap the two small factor axes
+    Fr = jnp.swapaxes(Cr, -3, -2).reshape(x.shape)
+    Fi = jnp.swapaxes(Ci, -3, -2).reshape(x.shape)
+    k = jnp.arange(n, dtype=_real_dtype(dt))[:, None]
+    Wc = jnp.cos(jnp.pi * k / (2 * n))
+    Ws = jnp.sin(jnp.pi * k / (2 * n))
+    return 2 * (Fr * Wc + Fi * Ws)
+
+
+def _idct2_axis2_mxu(y):
+    """Inverse DCT-II along axis -2 via MXU matmuls."""
+    n = y.shape[-2]
+    dt = y.dtype
+    W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, True)
+    hi = jax.lax.Precision.HIGHEST
+    n1 = _MXU_FFT_RADIX
+    k = jnp.arange(n, dtype=_real_dtype(dt))[:, None]
+    ynk = jnp.concatenate([jnp.zeros_like(y[..., :1, :]),
+                           jnp.flip(y[..., 1:, :], axis=-2)], axis=-2)
+    Wc = jnp.cos(jnp.pi * k / (2 * n))
+    Ws = jnp.sin(jnp.pi * k / (2 * n))
+    Fr = (y * Wc + ynk * Ws) * 0.5
+    Fi = (y * Ws - ynk * Wc) * 0.5
+    xr = Fr.reshape(Fr.shape[:-2] + (n1, n // n1, Fr.shape[-1]))
+    xi = Fi.reshape(Fi.shape[:-2] + (n1, n // n1, Fi.shape[-1]))
+    Ar = (jnp.einsum("kj,...jnm->...knm", W1c, xr, precision=hi)
+          - jnp.einsum("kj,...jnm->...knm", W1s, xi, precision=hi))
+    Ai = (jnp.einsum("kj,...jnm->...knm", W1s, xr, precision=hi)
+          + jnp.einsum("kj,...jnm->...knm", W1c, xi, precision=hi))
+    Tc = Twc[:, :, None]
+    Ts = Tws[:, :, None]
+    Br = Ar * Tc - Ai * Ts
+    Bi = Ar * Ts + Ai * Tc
+    vr = (jnp.einsum("...kjm,jl->...klm", Br, W2c, precision=hi)
+          - jnp.einsum("...kjm,jl->...klm", Bi, W2s, precision=hi))
+    v = jnp.swapaxes(vr, -3, -2).reshape(y.shape) / n
+    half = (n + 1) // 2
+    return jnp.stack([v[..., :half, :],
+                      jnp.flip(v[..., half:, :], axis=-2)],
+                     axis=-2).reshape(y.shape[:-2] + (n, y.shape[-1]))
+
+
 def dct2n(x):
-    """2D DCT-II over the last two axes (== scipy.fft.dctn, norm=None)."""
-    return jnp.swapaxes(dct2_1d(jnp.swapaxes(dct2_1d(x), -1, -2)), -1, -2)
+    """2D DCT-II over the last two axes (== scipy.fft.dctn, norm=None).
+    The axis -2 pass contracts along sublanes on the MXU directly —
+    no full-array transposes (expensive relayouts on TPU)."""
+    x = dct2_1d(x)
+    if _mxu_fft_supported(x.shape[-2]) and x.shape[-2] % 2 == 0:
+        return _dct2_axis2_mxu(x)
+    return jnp.swapaxes(dct2_1d(jnp.swapaxes(x, -1, -2)), -1, -2)
 
 
 def idct2n(x):
     """2D inverse DCT-II over the last two axes (== scipy.fft.idctn)."""
-    return jnp.swapaxes(idct2_1d(jnp.swapaxes(idct2_1d(x), -1, -2)), -1, -2)
+    if _mxu_fft_supported(x.shape[-2]) and x.shape[-2] % 2 == 0:
+        x = _idct2_axis2_mxu(x)
+    else:
+        x = jnp.swapaxes(idct2_1d(jnp.swapaxes(x, -1, -2)), -1, -2)
+    return idct2_1d(x)
 
 
 def moisan_per(image, inverse_dft=True):
