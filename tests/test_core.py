@@ -149,3 +149,21 @@ def test_map_coordinates_cubic_accuracy():
     cub = np.asarray(interp.map_coordinates(jnp.asarray(img),
                                             jnp.asarray(pts), order=3))
     assert np.abs(cub - true).max() < 0.2 * np.abs(lin - true).max()
+
+
+def test_pallas_dct_stages_match_scipy():
+    """The Pallas DCT kernels (experimental backend, interpret mode on
+    CPU) must match scipy exactly when enabled."""
+    from scipy.fft import dctn as sdctn, idctn as sidctn
+    from pygpa_tpu.core import fourier
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 512, 512))
+    old = fourier._PALLAS_DCT
+    fourier._PALLAS_DCT = True
+    try:
+        d = np.asarray(fourier.dct2n(jnp.asarray(x)))
+        assert np.allclose(d, sdctn(x, axes=(-2, -1)), atol=1e-8)
+        r = np.asarray(fourier.idct2n(jnp.asarray(d)))
+        assert np.allclose(r, x, atol=1e-10)
+    finally:
+        fourier._PALLAS_DCT = old
