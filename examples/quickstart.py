@@ -25,16 +25,18 @@ def main():
                                        shift=u_true)
     print(f"image: {image.shape} {image.dtype}")
 
-    # --- 1. detect the Bragg/moire peaks
-    pks, _ = gt.gpa.extract_primary_ks(np.asarray(image), DoG=False)
-    print("detected ks:\n", np.round(pks, 4))
+    # --- 1. detect the Bragg/moire peaks (sub-bin refinement), then
+    #        refine to sub-grid accuracy with the iterate_GPA loop
+    pks, _ = gt.gpa.extract_primary_ks(np.asarray(image), DoG=False,
+                                       subpixel=True)
+    ks = gt.gpa.refine_ks(image, pks)
+    print("refined ks:\n", np.round(ks, 5))
 
     # --- 2. extract the displacement field (WFR sweep + unwrap)
     u = -np.asarray(gt.gpa.extract_displacement_field(
-        image, pks, deconvolve=True))
+        image, ks, deconvolve=True))
     err = np.abs(u - u_true)[:, 20:-20, 20:-20]
-    print(f"displacement error vs truth: max {err.max():.3f} px "
-          f"(detected ks are grid-limited; pass exact ks for <0.05 px)")
+    print(f"displacement error vs truth: max {err.max():.3f} px")
 
     # --- 3. undistort (Lawler-Fujita)
     flat = gt.gpa.undistort_image(image, jnp.asarray(u_true),
@@ -46,7 +48,7 @@ def main():
           " (outermost pixels blend with the fill value)")
 
     # --- 4. local lattice properties
-    props = np.asarray(gt.props.calc_props_from_kvecs4(pks,
+    props = np.asarray(gt.props.calc_props_from_kvecs4(ks,
                                                        standardize=True))
     print(f"lattice props: theta={props[0]:.2f} deg (mod 60), "
           f"psi={props[1]:.1f} deg, r_k={props[2]:.4f}, "
@@ -58,12 +60,12 @@ def main():
           f"range {maps[0].min():.3f}..{maps[0].max():.3f} deg")
 
     # --- 5. unit-cell average
-    cell = gt.ucell.unit_cell_average(np.asarray(image), pks[:2],
+    cell = gt.ucell.unit_cell_average(np.asarray(image), ks[:2],
                                       u=jnp.asarray(u_true), z=2)
     print(f"unit cell: {np.asarray(cell).shape}")
 
     # --- production: one fused executable for a fixed shape/k-set
-    fn = gt.gpa.pipeline.make_displacement_extractor((size, size), pks)
+    fn = gt.gpa.pipeline.make_displacement_extractor((size, size), ks)
     u_fast = fn(image)
     print(f"fused pipeline output: {u_fast.shape} {u_fast.dtype}")
 

@@ -8,8 +8,9 @@ from .gpa.api import (  # noqa: F401
     wfr2_grad_vec, generate_klists,
 )
 from .gpa.reconstruct import (  # noqa: F401
-    reconstruct_u_inv, reconstruct_u_inv_from_phases, myweighed_lstsq,
-    fit_delta_k, iterate_GPA,
+    reconstruct_u_inv, reconstruct_u_inv_from_phases,
+    reconstruct_u_inv_from_demod, myweighed_lstsq, fit_delta_k,
+    iterate_GPA, refine_ks,
 )
 from .gpa.pipeline import (  # noqa: F401
     extract_displacement_field, make_displacement_extractor,

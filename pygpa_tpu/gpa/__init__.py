@@ -13,7 +13,8 @@ from .api import (  # noqa: F401
 )
 from .reconstruct import (  # noqa: F401
     reconstruct_u_inv, reconstruct_u_inv_from_phases,
-    myweighed_lstsq, fit_delta_k, iterate_GPA,
+    reconstruct_u_inv_from_demod, myweighed_lstsq, fit_delta_k,
+    iterate_GPA, refine_ks,
 )
 from .pipeline import (  # noqa: F401
     extract_displacement_field, gaussian_deconvolve,

@@ -67,9 +67,33 @@ def _decrease_threshold(t):
     return t
 
 
+def _subpixel_refine(smooth, cindices):
+    """Quadratic (log-parabolic) sub-bin refinement of peak positions
+    from the 3x3 neighborhood of each detected maximum. Improves the
+    grid-limited k accuracy (~1/size) by an order of magnitude on
+    smooth peaks. TPU-extra beyond the reference."""
+    n, m = smooth.shape
+    out = []
+    for ci in cindices:
+        i, j = int(ci[0]), int(ci[1])
+        di = dj = 0.0
+        if 0 < i < n - 1:
+            c, l, r = smooth[i, j], smooth[i - 1, j], smooth[i + 1, j]
+            den = l - 2 * c + r
+            if den < 0:
+                di = float(np.clip(0.5 * (l - r) / den, -0.5, 0.5))
+        if 0 < j < m - 1:
+            c, l, r = smooth[i, j], smooth[i, j - 1], smooth[i, j + 1]
+            den = l - 2 * c + r
+            if den < 0:
+                dj = float(np.clip(0.5 * (l - r) / den, -0.5, 0.5))
+        out.append((i + di, j + dj))
+    return np.asarray(out)
+
+
 def extract_primary_ks(image, plot=False, threshold=0.7,
                        pix_norm_range=(2, 200), sigma=1, NMPERPIXEL=1.0,
-                       DoG=True):
+                       DoG=True, subpixel=False):
     """Extract the primary k-vectors of a lattice image from its
     smoothed Fourier magnitude, recursively adapting threshold/sigma
     until (ideally) three primary ks emerge
@@ -98,8 +122,15 @@ def extract_primary_ks(image, plot=False, threshold=0.7,
     cindices = cindices[selection]
     coords = coords[selection]
 
-    all_ks = np.array([kxs[cindices.T[0]], kys[cindices.T[1]]]).T \
-        if len(cindices) else np.zeros((0, 2))
+    if subpixel and len(cindices):
+        pos = _subpixel_refine(smooth_h, cindices)
+        all_ks = np.stack(
+            [(pos[:, 0] - image.shape[0] // 2) / image.shape[0],
+             (pos[:, 1] - image.shape[1] // 2) / image.shape[1]], -1)
+    elif len(cindices):
+        all_ks = np.array([kxs[cindices.T[0]], kys[cindices.T[1]]]).T
+    else:
+        all_ks = np.zeros((0, 2))
     all_ks = remove_negative_duplicates(all_ks)
 
     newparams = False
@@ -126,7 +157,8 @@ def extract_primary_ks(image, plot=False, threshold=0.7,
         if newparams:
             primary_ks, all_ks = extract_primary_ks(
                 image, plot=False, threshold=threshold, sigma=sigma,
-                pix_norm_range=pix_norm_range, DoG=DoG)
+                pix_norm_range=pix_norm_range, DoG=DoG,
+                subpixel=subpixel)
         else:
             primary_ks = all_ks.copy()
 
@@ -142,7 +174,8 @@ def extract_primary_ks(image, plot=False, threshold=0.7,
             threshold = _decrease_threshold(threshold)
             primary_ks, all_ks = extract_primary_ks(
                 image, plot=False, threshold=threshold, sigma=sigma,
-                pix_norm_range=pix_norm_range, DoG=DoG)
+                pix_norm_range=pix_norm_range, DoG=DoG,
+                subpixel=subpixel)
         else:
             primary_ks = all_ks.copy()
 

@@ -79,6 +79,19 @@ def reconstruct_u_inv_from_phases(kvecs, phases, weights,
     return unwrap(dudx, dudy)
 
 
+def refine_ks(image, kvecs, sigma=None, iters=3, kmax_iter=25):
+    """Refine detected k-vectors to sub-grid accuracy via the
+    iterate_GPA plane-fit loop (detected peaks are limited to ~1/size;
+    displacement extraction with unrefined ks leaks a delta_k * r ramp
+    into u). Returns the corrected k-vectors (host numpy)."""
+    kvecs = np.asarray(kvecs)
+    if sigma is None:
+        sigma = int(np.ceil(1 / np.linalg.norm(kvecs, axis=1).min()))
+    _, _, corr = iterate_GPA(image, kvecs, sigma, iters=iters,
+                             kmax_iter=kmax_iter, kmax=kmax_iter)
+    return kvecs + np.asarray(corr)
+
+
 def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10):
     """Reconstruction from *demodulated* WFR phases (phase measured
     relative to each k's own plane wave, i.e. full phase =

@@ -62,7 +62,9 @@ def _cg_unwrap(rk0, WWx, WWy, kmax):
     (phase_unwrap.py:183-207,326-349)."""
     dt = rk0.dtype
     scale = _poisson_scale(rk0.shape[-2:], dt)
-    eps = jnp.asarray(1e-9, dt)
+    # the reference's 1e-9 relative residual is unreachable in float32;
+    # stop at a dtype-meaningful tolerance instead (f64 keeps 1e-9)
+    eps = jnp.asarray(1e-9 if dt == jnp.float64 else 1e-6, dt)
     norm_r0 = jnp.linalg.norm(rk0)
 
     def cond(state):
@@ -73,13 +75,21 @@ def _cg_unwrap(rk0, WWx, WWy, kmax):
         phi, rk, pk, rzprev, k, done = state
         zk = idct2n(dct2n(rk) / scale)
         rz = jnp.vdot(rk, zk).real.astype(dt)
-        pk = jnp.where(k == 0, zk, zk + (rz / rzprev) * pk)
+        # guarded Fletcher-Reeves / step coefficients: at (near-)exact
+        # convergence rz and <p, Qp> underflow to 0 in f32; 0/0 would
+        # poison the field with NaNs where the reference (f64) simply
+        # never gets this far
+        beta = jnp.where(rzprev != 0, rz / jnp.where(rzprev != 0,
+                                                     rzprev, 1.0), 0.0)
+        pk = jnp.where(k == 0, zk, zk + beta * pk)
         Qpk = _apply_q(pk, WWx, WWy)
-        alpha = rz / jnp.vdot(pk, Qpk).real.astype(dt)
+        pq = jnp.vdot(pk, Qpk).real.astype(dt)
+        alpha = jnp.where(pq != 0, rz / jnp.where(pq != 0, pq, 1.0), 0.0)
         phi = phi + alpha * pk
         rk = rk - alpha * Qpk
         k = k + 1
-        done = (k >= kmax) | (jnp.linalg.norm(rk) < eps * norm_r0)
+        done = ((k >= kmax) | (jnp.linalg.norm(rk) < eps * norm_r0)
+                | (rz == 0))
         return phi, rk, pk, rz, k, done
 
     state = (jnp.zeros_like(rk0), rk0, jnp.zeros_like(rk0),

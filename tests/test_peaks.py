@@ -40,3 +40,24 @@ def test_smallest_sum():
     ks = np.asarray(generate_ks(0.1, 10.0))[:3]
     assert np.linalg.norm(gpa.smallest_sum(ks)) < 1e-12
     assert np.isnan(gpa.smallest_sum(ks[:2]))
+
+
+def test_subpixel_and_refine_ks(testset_gaussian):
+    """Sub-bin peak refinement + iterate_GPA k-refinement recover the
+    true ks far beyond the FFT grid resolution, and the refined ks fix
+    the displacement-field ramp of grid-limited ks."""
+    import jax.numpy as jnp
+    original, deformed, noise, ori_ks = testset_gaussian
+    size = original.shape[0]
+    pks, _ = gpa.extract_primary_ks(original, DoG=False, subpixel=True)
+    d_sub = np.linalg.norm(np.concatenate([pks, -pks])[None]
+                           - ori_ks[:3][:, None], axis=-1).min(axis=1)
+    assert np.all(d_sub < 0.5 / size)
+    # refine to sub-grid accuracy on the deformed image
+    signs = np.sign(np.einsum("kc,kc->k",
+                              gpa.select_closest_to_triangle(pks),
+                              ori_ks[:3]))
+    pks3 = gpa.select_closest_to_triangle(pks) * signs[:, None]
+    refined = gpa.refine_ks(jnp.asarray(original), pks3)
+    d_ref = np.linalg.norm(refined - ori_ks[:3], axis=-1)
+    assert np.all(d_ref < 0.15 / size)

@@ -64,7 +64,9 @@ def test_svd2x2_assumptions(theta, psi, kappa, a):
     angle = (uu @ vv).T
     assert np.allclose(angle, W, atol=1e-7)
     assert np.allclose(np.diag(s), D / a * a, rtol=1e-6)
-    assert np.allclose(V, uu, atol=1e-7) or np.allclose(-V, -uu, atol=1e-7)
+    # anisotropy frame defined modulo 180 degrees: uu == +/-V
+    assert (np.allclose(uu, V, atol=1e-7)
+            or np.allclose(uu, -V, atol=1e-7))
 
 
 @settings(deadline=None, max_examples=60)
