@@ -131,7 +131,8 @@ def gaussian_deconvolve(data, sigma, dr=20, balance=5000):
 
 def make_displacement_extractor(shape, kvecs, sigma=None, kwscale=2.5,
                                 ksteps=3, deconvolve=False, chunk=8,
-                                unwrap_kmax=10, dtype=jnp.float32):
+                                unwrap_kmax=10, unwrap_coarse=None,
+                                dtype=jnp.float32):
     """Build a single fully-jitted displacement-extraction program for
     a fixed image shape and k-vector set: 3 WFR sweeps on one shared
     spectrum -> per-pixel weighted lstsq -> CG unwrap (-> optional
@@ -177,7 +178,8 @@ def make_displacement_extractor(shape, kvecs, sigma=None, kwscale=2.5,
             weights = jnp.sqrt(jnp.stack(absqs)) * (mask + 1e-6)
         with jax.named_scope("gpa.reconstruct"):
             u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
-                                             kmax=unwrap_kmax)
+                                             kmax=unwrap_kmax,
+                                             unwrap_coarse=unwrap_coarse)
         if deconvolve:
             with jax.named_scope("gpa.deconvolve"):
                 u = gaussian_deconvolve(u, sig, dr)

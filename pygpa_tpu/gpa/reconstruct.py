@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from ..core.mathtools import wrap_to_pi, fit_plane
 from ..solvers.lstsq import weighted_lstsq_stack
-from ..solvers.unwrap import phase_unwrap, phase_unwrap_prediff
+from ..solvers.unwrap import (phase_unwrap, phase_unwrap_prediff,
+                              phase_unwrap_prediff_mg)
 from ..ops.lockin import gpa_lockin
 
 
@@ -92,7 +93,8 @@ def refine_ks(image, kvecs, sigma=None, iters=3, kmax_iter=25):
     return kvecs + np.asarray(corr)
 
 
-def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10):
+def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10,
+                                 unwrap_coarse=None, refine_iters=3):
     """Reconstruction from *demodulated* WFR phases (phase measured
     relative to each k's own plane wave, i.e. full phase =
     phases_demod + 2 pi k . r). The plane-wave ramp enters the wrapped
@@ -110,8 +112,13 @@ def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10):
     dudx = weighted_lstsq_stack(dbdx, K, weights[:, :, : dbdx.shape[2]])
     dudy = weighted_lstsq_stack(dbdy, K, weights[:, : dbdy.shape[1], :])
     wnorm = jnp.linalg.norm(weights, axis=0)
-    unwrap = jax.vmap(lambda dx, dy: phase_unwrap_prediff(
-        dx, dy, wnorm, kmax=kmax))
+    if unwrap_coarse:
+        unwrap = jax.vmap(lambda dx, dy: phase_unwrap_prediff_mg(
+            dx, dy, wnorm, kmax=kmax, coarse=unwrap_coarse,
+            refine_iters=refine_iters))
+    else:
+        unwrap = jax.vmap(lambda dx, dy: phase_unwrap_prediff(
+            dx, dy, wnorm, kmax=kmax))
     return unwrap(dudx, dudy)
 
 

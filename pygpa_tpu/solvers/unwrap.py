@@ -149,6 +149,50 @@ def phase_unwrap_prediff(dx, dy, weight=None, kmax=100,
     return (phi, k) if return_iters else phi
 
 
+def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
+                            refine_iters=3):
+    """Multigrid-accelerated gradient integration: solve the weighted
+    Poisson problem on a `coarse`-x downsampled grid (GPA displacement
+    gradients are band-limited by the sigma-wide lock-in window),
+    upsample the solution gather-free, and polish with `refine_iters`
+    full-resolution CG iterations on the residual gradients.
+
+    Opt-in production path (the exact reference algorithm is
+    phase_unwrap_prediff); end-to-end accuracy is gated by the
+    reference displacement tolerances in tests/test_pipeline.py.
+    """
+    dx = wrap_to_pi(jnp.asarray(dx))
+    dy = wrap_to_pi(jnp.asarray(dy))
+    n = dx.shape[-2]
+    m = dy.shape[-1]
+    c = int(coarse)
+    nc, mc = n // c, m // c
+
+    def block_mean(a, rows, cols):
+        a = a[..., : rows * c, : cols * c]
+        return a.reshape(a.shape[:-2] + (rows, c, cols, c)).mean(
+            axis=(-3, -1))
+
+    # coarse differences = c * block-averaged fine differences
+    dxc = block_mean(dx[..., :, : (mc - 1) * c], nc, mc - 1) * c
+    dyc = block_mean(dy[..., : (nc - 1) * c, :], nc - 1, mc) * c
+    wc = block_mean(weight, nc, mc) if weight is not None else None
+    # no re-wrapping: coarse differences can legitimately exceed pi
+    rkc, WWxc, WWyc = _residual(dxc, dyc, wc)
+    phi_c, _ = _cg_unwrap(rkc, WWxc, WWyc, int(kmax))
+    phi0 = jax.image.resize(phi_c, phi_c.shape[:-2] + (n, m),
+                            method="linear")
+    # residual polish at full resolution (residuals are small and
+    # unwrapped by construction)
+    rdx = dx - jnp.diff(phi0, axis=-1)
+    rdy = dy - jnp.diff(phi0, axis=-2)
+    if refine_iters > 0:
+        rk, WWx, WWy = _residual(rdx, rdy, weight)
+        dphi, _ = _cg_unwrap(rk, WWx, WWy, int(refine_iters))
+        phi0 = phi0 + dphi
+    return phi0
+
+
 # --- pyGPA.phase_unwrap API-parity surface -------------------------------
 # The reference exposes non-precomputed "reference implementations" and
 # the solver internals (phase_unwrap.py:26-138); on TPU the optimized

@@ -98,3 +98,21 @@ def test_reconstruction_coarse_inversion(testset_gaussian,
     err = np.abs(rec - original) / np.abs(original).max()
     print("coarse=4 reconstruction max rel err:", err.max())
     assert np.all(err[1:-1, 1:-1] < 0.02)
+
+
+def test_factory_multigrid_accuracy(testset_gaussian, gaussiandeform):
+    """The multigrid-unwrap production path (unwrap_coarse) must meet
+    the same reference displacement tolerances as the exact path."""
+    import numpy as np
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+    original, deformed, noise, ori_ks = testset_gaussian
+    ks = ori_ks[:3]
+    fn = make_displacement_extractor(deformed.shape, ks,
+                                     dtype=np.float64, unwrap_coarse=4)
+    u = -np.array(fn(deformed + noise))
+    assert np.all(np.abs(u - gaussiandeform)[:, 20:-20, 20:-20] < 0.9)
+    fn2 = make_displacement_extractor(deformed.shape, ks,
+                                      dtype=np.float64, unwrap_coarse=4,
+                                      deconvolve=True)
+    u2 = -np.array(fn2(deformed))
+    assert np.all(np.abs(u2 - gaussiandeform)[:, 20:-20, 20:-20] < 0.05)
