@@ -45,7 +45,8 @@ def config1():
     size = 512
     img = hexlattice_gen(0.1, 7.0, order=2, size=size, dtype=jnp.float32)
     ks = np.asarray(generate_ks(0.1, 7.0))[:3]
-    fn = make_displacement_extractor((size, size), ks)
+    fn = make_displacement_extractor((size, size), ks,
+                                     unwrap_coarse=4)
     dt = _timeit(fn, img)
     return "basic GPA + displacement field, 512^2", size * size / 1e6 / dt
 
@@ -57,7 +58,8 @@ def config2():
     r_k = 0.015  # small-angle moire
     img = hexlattice_gen(r_k, 3.0, order=2, size=size, dtype=jnp.float32)
     ks = np.asarray(generate_ks(r_k, 3.0))[:3]
-    fn = make_displacement_extractor((size, size), ks)
+    fn = make_displacement_extractor((size, size), ks,
+                                     unwrap_coarse=4)
     dt = _timeit(fn, img)
     return "WFR sweep pipeline, 1024^2 small-angle moire", \
         size * size / 1e6 / dt
@@ -128,7 +130,8 @@ def config5():
     img = hexlattice_gen(r_k, 5.0, order=2, size=tile, dtype=jnp.float32)
     tiles = jnp.stack([img, img[::-1], img[:, ::-1], img[::-1, ::-1]])
     ks = np.asarray(generate_ks(r_k, 5.0))[:3]
-    extract = make_displacement_extractor((tile, tile), ks, chunk=4)
+    extract = make_displacement_extractor((tile, tile), ks, chunk=4,
+                                          unwrap_coarse=4)
 
     @jax.jit
     def step(tiles):
