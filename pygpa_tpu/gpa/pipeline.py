@@ -9,7 +9,6 @@ one shared image spectrum, then reconstruction (lstsq + CG unwrap) in
 a single device program — the full hot path is jit-compiled XLA with
 no host round-trips.
 """
-from functools import partial
 
 import numpy as np
 import jax

@@ -45,7 +45,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.mathtools import wrap_to_pi
-from .lockin import plane_wave
 
 
 def _np_gradient_2d(ph):
