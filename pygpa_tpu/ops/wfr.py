@@ -25,6 +25,11 @@ TPU formulation (see ops/lockin.py for the identity):
    grad(-angle L_w) + 2 pi w; the reference's trailing
    wrapToPi(2g)/2 (geometric_phase_analysis.py:812) maps both
    formulations to the same representative.
+ - candidates are processed in chunks via lax.scan with a batched
+   inverse FFT (or, when the bandpass window is small, via the zoom
+   matmul kernel below); the carry holds (best |.|^2, best complex,
+   best index, best grad), all updated with jnp.where — the jnp
+   analogue of the cupy running-max (cuGPA.py:74-76).
 
 Boundary semantics: both formulations see the circular wrap-around of
 the Gaussian window (both are FFT-circular); within ~4 sigma of the
@@ -33,10 +38,6 @@ versus 1 in the reference — two equally artifactual conventions.
 Interior values agree to float precision (tests/test_lockin_wfr.py);
 pipelines mask a 2-sigma rim regardless (extract_displacement_field's
 weight mask, geometric_phase_analysis.py:923-926).
- - candidates are processed in chunks via lax.scan with a batched
-   inverse FFT; the carry holds (best |.|^2, best complex, best index,
-   best grad), all updated with jnp.where — the jnp analogue of the
-   cupy running-max (cuGPA.py:74-76).
 """
 from functools import partial
 
