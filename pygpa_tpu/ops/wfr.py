@@ -209,6 +209,18 @@ def _zoom_basis(n, idx, dtype):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+# Fused Pallas chunk-selection (ops.pallas_select). Measured bit-exact
+# against the where-loop on TPU but performance-neutral (the loop's
+# carry traffic was already fused well by XLA), and the composition
+# inside the full pipeline hit a Mosaic compile fault — off by default,
+# kept as groundwork for the round-2 fused matmul+select kernel.
+_PALLAS_SELECT = False
+
+
+def _use_pallas_select():
+    return _PALLAS_SELECT and jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk"))
 def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
                     chunk):
@@ -246,8 +258,10 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
     def mmT(a, b):
         return jnp.einsum("crv,sv->crs", a, b, precision=hi)
 
+    use_kernel = _use_pallas_select() and not with_grad
+
     def body(carry, xs):
-        best_absq, best_lockin, best_idx, best_grad = carry
+        best_absq, best_r, best_i, best_idx, best_grad = carry
         ws, base_idx = xs
         gx = jnp.exp(-s2 * (f0[None, :] + ws[:, 0:1]) ** 2)  # (C, W0)
         gy = jnp.exp(-s2 * (f1[None, :] + ws[:, 1:2]) ** 2)  # (C, W1)
@@ -257,6 +271,12 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
         Ti = mm(A0c, Swi) + mm(A0s, Swr)
         Mr = mmT(Tr, A1c) - mmT(Ti, A1s)    # (C, n, m)
         Mi = mmT(Tr, A1s) + mmT(Ti, A1c)
+        if use_kernel:
+            from .pallas_select import chunk_select
+            best_absq, best_r, best_i, best_idx = chunk_select(
+                Mr, Mi, base_idx, best_absq, best_r, best_i, best_idx)
+            return (best_absq, best_r, best_i, best_idx,
+                    best_grad), None
         absq = Mr * Mr + Mi * Mi
         if with_grad:
             ph = -jnp.arctan2(Mi, Mr)
@@ -264,20 +284,24 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
         for i in range(ws.shape[0]):
             better = absq[i] > best_absq
             best_absq = jnp.where(better, absq[i], best_absq)
-            best_lockin = jnp.where(
-                better, jax.lax.complex(Mr[i], Mi[i]), best_lockin)
+            best_r = jnp.where(better, Mr[i], best_r)
+            best_i = jnp.where(better, Mi[i], best_i)
             best_idx = jnp.where(better, base_idx + i, best_idx)
             if with_grad:
                 gi = jnp.stack([ggx[i], ggy[i]], axis=-1)
                 best_grad = jnp.where(better[..., None], gi, best_grad)
-        return (best_absq, best_lockin, best_idx, best_grad), None
+        return (best_absq, best_r, best_i, best_idx, best_grad), None
 
     base_idx = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
     init = (jnp.zeros((n, m), rdt),
-            jnp.zeros((n, m), spectrum.dtype),
+            jnp.zeros((n, m), rdt),
+            jnp.zeros((n, m), rdt),
             jnp.zeros((n, m), jnp.int32),
             jnp.zeros((n, m, 2), rdt) if with_grad else jnp.zeros((0,), rdt))
-    return jax.lax.scan(body, init, (wl, base_idx))[0]
+    best_absq, best_r, best_i, best_idx, best_grad = jax.lax.scan(
+        body, init, (wl, base_idx))[0]
+    return (best_absq, jax.lax.complex(best_r, best_i), best_idx,
+            best_grad)
 
 
 def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,

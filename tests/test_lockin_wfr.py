@@ -98,3 +98,55 @@ def test_wfr4_continuity(small_lattice):
     g = gpa.wfr4(img, 10, klists[0][:40], k, dk=0.01)
     assert np.isfinite(np.asarray(g["lockin"])).all()
     assert np.asarray(g["w"]).shape == (2,) + img.shape
+
+
+def test_pallas_select_matches_loop(small_lattice):
+    """The Pallas chunk-selection kernel (experimental) is bit-exact
+    against the where-loop tournament (interpret mode on CPU)."""
+    import pygpa_tpu.ops.wfr as W
+    img, ks = small_lattice
+    k = ks[0]
+    kw = np.linalg.norm(ks, axis=1).mean() / 2.5
+    wlist = _grid(k, kw, kw / 3)
+    old = W._PALLAS_SELECT
+    try:
+        W._PALLAS_SELECT = True
+        W._wfr_sweep_zoom.clear_cache()
+        # force the "tpu" gate off: call chunk_select directly instead
+        from pygpa_tpu.ops.pallas_select import chunk_select
+        rng = np.random.default_rng(0)
+        C, n, m = 4, 64, 128
+        Mr = jnp.asarray(rng.normal(size=(C, n, m)))
+        Mi = jnp.asarray(rng.normal(size=(C, n, m)))
+        ba = jnp.asarray(rng.uniform(0, 2, size=(n, m)))
+        br = jnp.zeros((n, m)); bi = jnp.zeros((n, m))
+        bx = jnp.zeros((n, m), jnp.int32)
+        oa, orr, oi, ox = chunk_select(Mr, Mi, 7, ba, br, bi, bx,
+                                       rows=32)
+        # reference loop; absq through jit so XLA's fma rounding matches
+        # the interpret-mode kernel bit-for-bit
+        import jax as _jax
+        _absq = _jax.jit(lambda a, b: a * a + b * b)
+        ra, rr, ri, rx = np.array(ba), np.array(br), np.array(bi), \
+            np.array(bx)
+        for i in range(C):
+            absq = np.array(_absq(Mr[i], Mi[i]))
+            t = absq > ra
+            ra = np.where(t, absq, ra)
+            rr = np.where(t, np.array(Mr[i]), rr)
+            ri = np.where(t, np.array(Mi[i]), ri)
+            rx = np.where(t, 7 + i, rx)
+        assert np.array_equal(np.array(oa), ra)
+        assert np.array_equal(np.array(orr), rr)
+        assert np.array_equal(np.array(oi), ri)
+        assert np.array_equal(np.array(ox), rx)
+    finally:
+        W._PALLAS_SELECT = old
+        W._wfr_sweep_zoom.clear_cache()
+
+
+def _grid(k, kw, kstep):
+    wxs = np.arange(k[0] - kw, k[0] + kw, kstep)
+    wys = np.arange(k[1] - kw, k[1] + kw, kstep)
+    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+    return np.stack([wx.ravel(), wy.ravel()], -1)
