@@ -1,0 +1,120 @@
+"""Pallas warp kernels (ops/pallas_warp.py) vs the XLA resampling
+oracles, in interpret mode on CPU. The kernels are the TPU fast path
+for every order-1/order-3 2-D warp in the framework (invert_u*,
+undistort_image, expand_unitcell); they must be exact for smooth
+in-domain coordinate fields and reproduce the boundary-mode semantics
+of jax.scipy.ndimage (order 1) / core.interp's Catmull-Rom (order 3).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.scipy import ndimage as jndi
+
+from pygpa_tpu.core.interp import _map_coordinates_cubic
+from pygpa_tpu.ops.pallas_warp import warp_bilinear, warp_cubic
+
+
+def _smooth_case(n, m, amp, seed=0):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.normal(size=(n, m)))
+    yy, xx = np.meshgrid(np.arange(n, dtype=float),
+                         np.arange(m, dtype=float), indexing="ij")
+    u0 = amp * np.sin(2 * np.pi * yy / n) * np.cos(2 * np.pi * xx / m)
+    u1 = (amp * np.cos(2 * np.pi * yy / n + 1.0)
+          * np.sin(2 * np.pi * xx / m))
+    return img, jnp.asarray(yy + u0), jnp.asarray(xx + u1)
+
+
+@pytest.mark.parametrize("shape,amp", [((64, 256), 3.0), ((192, 192), 8.0),
+                                       ((128, 384), 20.0)])
+@pytest.mark.parametrize("mode", ["nearest", "constant"])
+def test_warp_bilinear_exact(shape, amp, mode):
+    img, cy, cx = _smooth_case(*shape, amp)
+    ref = jndi.map_coordinates(img, [cy, cx], order=1, mode=mode,
+                               cval=-3.5)
+    mine = warp_bilinear(img, cy, cx, mode=mode, cval=-3.5)
+    assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("shape,amp", [((64, 256), 3.0), ((192, 192), 8.0),
+                                       ((128, 384), 20.0)])
+@pytest.mark.parametrize("mode", ["nearest", "constant"])
+def test_warp_cubic_exact(shape, amp, mode):
+    img, cy, cx = _smooth_case(*shape, amp)
+    ref = _map_coordinates_cubic(img, jnp.stack([cy, cx]), -3.5, mode)
+    mine = warp_cubic(img, cy, cx, mode=mode, cval=-3.5)
+    assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["nearest", "constant"])
+def test_warp_boundary_semantics(mode):
+    """Sample positions crossing and far beyond every border, with
+    gentle in-domain slopes."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(96, 128)))
+    yy, xx = np.meshgrid(np.linspace(-25, 120, 64),
+                         np.linspace(-25, 155, 128), indexing="ij")
+    cy = jnp.asarray(yy + 2 * np.sin(xx / 40))
+    cx = jnp.asarray(xx + 2 * np.cos(yy / 40))
+    ref1 = jndi.map_coordinates(img, [cy, cx], order=1, mode=mode,
+                                cval=2.5)
+    mine1 = warp_bilinear(img, cy, cx, mode=mode, cval=2.5)
+    assert np.allclose(np.asarray(mine1), np.asarray(ref1), atol=1e-12)
+    ref3 = _map_coordinates_cubic(img, jnp.stack([cy, cx]), 2.5, mode)
+    mine3 = warp_cubic(img, cy, cx, mode=mode, cval=2.5)
+    assert np.allclose(np.asarray(mine3), np.asarray(ref3), atol=1e-12)
+
+
+def test_warp_1d_coords():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(256, 256)))
+    cy = jnp.linspace(-3, 200, 777)
+    cx = jnp.linspace(200, -3, 777)
+    ref = jndi.map_coordinates(img, [cy, cx], order=1, mode="nearest")
+    mine = warp_bilinear(img, cy, cx, mode="nearest")
+    assert mine.shape == (777,)
+    assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-12)
+
+
+def test_warp_rect_output_grid():
+    """Output grid different from the image grid (the invert_u_overlap
+    edge-extended case)."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.normal(size=(256, 256)))
+    yy, xx = np.meshgrid(np.arange(40, 168, dtype=float),
+                         np.arange(30, 210, dtype=float), indexing="ij")
+    cy = jnp.asarray(yy + 4 * np.sin(yy / 20) * np.cos(xx / 25))
+    cx = jnp.asarray(xx - 5 * np.cos(xx / 30) * np.sin(yy / 17))
+    for fn, oracle in ((warp_bilinear,
+                        lambda: jndi.map_coordinates(
+                            img, [cy, cx], order=1, mode="nearest")),
+                       (warp_cubic,
+                        lambda: _map_coordinates_cubic(
+                            img, jnp.stack([cy, cx]), 0.0, "nearest"))):
+        assert np.allclose(np.asarray(fn(img, cy, cx, mode="nearest")),
+                           np.asarray(oracle()), atol=1e-12)
+
+
+def test_pipeline_uses_warp_on_smooth_fields():
+    """invert_u_overlap through the interp dispatch stays correct with
+    the Pallas path forced on (interpret mode here)."""
+    import pygpa_tpu.core.interp as I
+    from pygpa_tpu.gpa.pipeline import invert_u_overlap
+    rng = np.random.default_rng(5)
+    n = 128
+    yy, xx = np.meshgrid(np.arange(n, dtype=float),
+                         np.arange(n, dtype=float), indexing="ij")
+    us = jnp.asarray(np.stack([
+        3.0 * np.sin(2 * np.pi * yy / n),
+        2.0 * np.cos(2 * np.pi * xx / n)]))
+    ref = invert_u_overlap(us, iters=15, order=1)
+    orig = I._use_pallas_warp
+    try:
+        I._use_pallas_warp = (lambda image, coordinates, order, mode:
+                              order in (1, 3) and image.ndim == 2
+                              and coordinates.shape[0] == 2
+                              and mode in ("nearest", "constant"))
+        mine = invert_u_overlap(us, iters=15, order=1)
+    finally:
+        I._use_pallas_warp = orig
+    assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-10)
