@@ -213,12 +213,22 @@ def _zoom_basis(n, idx, dtype):
 # against the where-loop on TPU but performance-neutral (the loop's
 # carry traffic was already fused well by XLA), and the composition
 # inside the full pipeline hit a Mosaic compile fault — off by default,
-# kept as groundwork for the round-2 fused matmul+select kernel.
+# superseded by the matmul-fused kernel below.
 _PALLAS_SELECT = False
 
 
 def _use_pallas_select():
     return _PALLAS_SELECT and jax.default_backend() == "tpu"
+
+
+# Fused second-matmul + selection (ops.pallas_sweep): the (C, N, M)
+# candidate lock-in planes never round-trip HBM — the real traffic
+# win the selection-only kernel could not reach.
+_PALLAS_SWEEP = True
+
+
+def _use_pallas_sweep():
+    return _PALLAS_SWEEP and jax.default_backend() == "tpu"
 
 
 @partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk"))
@@ -258,7 +268,8 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
     def mmT(a, b):
         return jnp.einsum("crv,sv->crs", a, b, precision=hi)
 
-    use_kernel = _use_pallas_select() and not with_grad
+    use_fused = (_use_pallas_sweep() and not with_grad
+                 and n % 256 == 0 and m % 128 == 0)
 
     def body(carry, xs):
         best_absq, best_r, best_i, best_idx, best_grad = carry
@@ -269,14 +280,15 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
         Swi = gx[:, :, None] * Si[None] * gy[:, None, :] * scale
         Tr = mm(A0c, Swr) - mm(A0s, Swi)    # (C, n, W1)
         Ti = mm(A0c, Swi) + mm(A0s, Swr)
-        Mr = mmT(Tr, A1c) - mmT(Ti, A1s)    # (C, n, m)
-        Mi = mmT(Tr, A1s) + mmT(Ti, A1c)
-        if use_kernel:
-            from .pallas_select import chunk_select
-            best_absq, best_r, best_i, best_idx = chunk_select(
-                Mr, Mi, base_idx, best_absq, best_r, best_i, best_idx)
+        if use_fused:
+            from .pallas_sweep import fused_colmm_select
+            best_absq, best_r, best_i, best_idx = fused_colmm_select(
+                Tr, Ti, A1c, A1s, base_idx,
+                best_absq, best_r, best_i, best_idx)
             return (best_absq, best_r, best_i, best_idx,
                     best_grad), None
+        Mr = mmT(Tr, A1c) - mmT(Ti, A1s)    # (C, n, m)
+        Mi = mmT(Tr, A1s) + mmT(Ti, A1c)
         absq = Mr * Mr + Mi * Mi
         if with_grad:
             ph = -jnp.arctan2(Mi, Mr)
@@ -357,9 +369,23 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
                 _wfr_sweep_chunked(
                     spectrum, wlist, float(sigma), with_grad,
                     int(min(chunk, wlist.shape[0])))
-        # table gather only when the caller wants the k-map (skipped on
-        # the pipeline hot path)
-        w_field = wlist.astype(rdt)[best_idx] if with_w else None
+        # table lookup only when the caller wants the k-map (skipped on
+        # the pipeline hot path). For small tables an unrolled
+        # where-select beats XLA's per-pixel gather by ~25x on TPU
+        # (gathers run on the scalar core, ~70M idx/s).
+        w_field = None
+        if with_w:
+            wl = wlist.astype(rdt)
+            if wlist.shape[0] <= 64:
+                wx = jnp.full(best_idx.shape, wl[0, 0], rdt)
+                wy = jnp.full(best_idx.shape, wl[0, 1], rdt)
+                for p in range(1, wlist.shape[0]):
+                    sel = best_idx == p
+                    wx = jnp.where(sel, wl[p, 0], wx)
+                    wy = jnp.where(sel, wl[p, 1], wy)
+                w_field = jnp.stack([wx, wy], axis=-1)
+            else:
+                w_field = wl[best_idx]
 
     if rebase:
         # separable rank-1 plane wave: two length-N exp vectors instead

@@ -150,3 +150,40 @@ def _grid(k, kw, kstep):
     wys = np.arange(k[1] - kw, k[1] + kw, kstep)
     wx, wy = np.meshgrid(wxs, wys, indexing="ij")
     return np.stack([wx.ravel(), wy.ravel()], -1)
+
+
+def test_fused_colmm_select_matches_einsum():
+    """The fused second-matmul + tournament kernel (ops.pallas_sweep,
+    the TPU zoom-sweep hot path) matches the einsum + where-loop
+    formulation (interpret mode on CPU)."""
+    from pygpa_tpu.ops.pallas_sweep import fused_colmm_select
+    rng = np.random.default_rng(0)
+    C, n, W1, m = 4, 256, 64, 384
+    Tr = jnp.asarray(rng.normal(size=(C, n, W1)))
+    Ti = jnp.asarray(rng.normal(size=(C, n, W1)))
+    A1c = jnp.asarray(rng.normal(size=(m, W1)))
+    A1s = jnp.asarray(rng.normal(size=(m, W1)))
+    ba = jnp.asarray(rng.uniform(0, 50000, size=(n, m)))
+    br = jnp.zeros((n, m)); bi = jnp.zeros((n, m))
+    bx = jnp.zeros((n, m), jnp.int32)
+    oa, orr, oi, ox = fused_colmm_select(Tr, Ti, A1c, A1s, 11,
+                                         ba, br, bi, bx, interpret=True)
+    Mr = np.einsum("crv,sv->crs", np.array(Tr), np.array(A1c)) - \
+        np.einsum("crv,sv->crs", np.array(Ti), np.array(A1s))
+    Mi = np.einsum("crv,sv->crs", np.array(Tr), np.array(A1s)) + \
+        np.einsum("crv,sv->crs", np.array(Ti), np.array(A1c))
+    ra, rr, ri, rx = np.array(ba), np.array(br), np.array(bi), \
+        np.array(bx)
+    for i in range(C):
+        absq = Mr[i] ** 2 + Mi[i] ** 2
+        t = absq > ra
+        ra = np.where(t, absq, ra)
+        rr = np.where(t, Mr[i], rr)
+        ri = np.where(t, Mi[i], ri)
+        rx = np.where(t, 11 + i, rx)
+    assert np.allclose(np.array(oa), ra, rtol=1e-10)
+    assert np.allclose(np.array(orr), rr, atol=1e-10)
+    assert np.allclose(np.array(oi), ri, atol=1e-10)
+    # index ties can only flip where absq values are within rounding
+    diff = np.array(ox) != rx
+    assert diff.mean() < 1e-3
