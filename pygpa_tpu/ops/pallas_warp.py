@@ -61,9 +61,11 @@ _NB = 3                    # row blocks per window
 _NC = 3                    # col blocks per window (3x3 group -> 96x384)
 
 
-def _warp_kernel(oy_ref, ox_ref, w00_ref, w01_ref, w02_ref,
-                 w10_ref, w11_ref, w12_ref, w20_ref, w21_ref, w22_ref,
-                 er_ref, ec_ref, fy_ref, fx_ref, out_ref):
+def _warp_kernel(pk_ref,
+                 w00_ref, w01_ref, w02_ref, w10_ref, w11_ref, w12_ref,
+                 w20_ref, w21_ref, w22_ref,
+                 er_ref, ec_ref, fy_ref, fx_ref, out_ref,
+                 acc_ref, p0_ref, p1_ref):
     # 96-row window in three 128-wide column chunks; pad top and
     # bottom with copies so every d slice is in-bounds — rows read
     # from the pads are never selected (masked by d_pix).
@@ -78,6 +80,12 @@ def _warp_kernel(oy_ref, ox_ref, w00_ref, w01_ref, w02_ref,
     ec = ec_ref[:]            # window column of tap0, in [0, _NC*_WC-2]
     fy = fy_ref[:]
     fx = fx_ref[:]
+    v = pk_ref[pl.program_id(0), pl.program_id(1)]
+    # this tile's actual d_pix range (bit-packed with the window base,
+    # see _pack_tile): for smooth fields ~10 of the 103 static
+    # iterations do real work
+    smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - 8
+    smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - 8
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 0)
     d_pix = er - i_loc        # in [-(_TR-1), _NB*_WR - 2]
@@ -100,25 +108,30 @@ def _warp_kernel(oy_ref, ox_ref, w00_ref, w01_ref, w02_ref,
         return jnp.where(in0, jnp.take_along_axis(A0, e0, axis=1), g)
 
     one = jnp.ones((), fy.dtype)
-    acc = jnp.zeros((_TR, _TC), fy.dtype)
+    acc_ref[:] = jnp.zeros((_TR, _TC), fy.dtype)
     # Gather BEFORE blending: the vertical fraction fy belongs to the
     # output pixel, so row taps must be gathered at the pixel's own
     # column first. Row tap d+1 of this iteration is row tap d of the
-    # next, so a rolling pair keeps it at 6 vreg-gathers per d.
-    prev0 = prev1 = acc
+    # next, so a rolling pair (in scratch) keeps it at 6 vreg-gathers
+    # per executed d. Iterations outside [smin, smax+1] are skipped at
+    # runtime (pl.when): the selection mask d_pix == d-1 would be
+    # all-false there anyway. At d == smin the prev scratch holds
+    # garbage, but d-1 < smin means no pixel selects it.
     for d in range(-_TR + 1, _NB * _WR):
-        a0 = d + _TR          # slice start in the row-padded window
-        A0 = w0[a0:a0 + _TR]
-        A1 = w1[a0:a0 + _TR]
-        A2 = w2[a0:a0 + _TR]
-        c0 = gather(A0, A1, A2, t0)
-        c1 = gather(A0, A1, A2, t1)
-        if d > -_TR + 1:
-            val = ((one - fy) * ((one - fx) * prev0 + fx * prev1)
+        @pl.when((d >= smin) & (d <= smax + 1))
+        def _body(d=d):
+            a0 = d + _TR      # slice start in the row-padded window
+            A0 = w0[a0:a0 + _TR]
+            A1 = w1[a0:a0 + _TR]
+            A2 = w2[a0:a0 + _TR]
+            c0 = gather(A0, A1, A2, t0)
+            c1 = gather(A0, A1, A2, t1)
+            val = ((one - fy) * ((one - fx) * p0_ref[:] + fx * p1_ref[:])
                    + fy * ((one - fx) * c0 + fx * c1))
-            acc = jnp.where(d_pix == d - 1, val, acc)
-        prev0, prev1 = c0, c1
-    out_ref[:] = acc
+            acc_ref[:] = jnp.where(d_pix == d - 1, val, acc_ref[:])
+            p0_ref[:] = c0
+            p1_ref[:] = c1
+    out_ref[:] = acc_ref[:]
 
 
 def _cr_weights(t):
@@ -132,15 +145,17 @@ def _cr_weights(t):
             0.5 * t3 - 0.5 * t2)
 
 
-def _warp_cubic_kernel(oy_ref, ox_ref, w00_ref, w01_ref, w02_ref,
-                       w10_ref, w11_ref, w12_ref, w20_ref, w21_ref,
-                       w22_ref, er_ref, ec_ref, fy_ref, fx_ref,
-                       out_ref):
+def _warp_cubic_kernel(pk_ref,
+                       w00_ref, w01_ref, w02_ref, w10_ref, w11_ref,
+                       w12_ref, w20_ref, w21_ref, w22_ref,
+                       er_ref, ec_ref, fy_ref, fx_ref, out_ref,
+                       acc_ref, r0_ref, r1_ref, r2_ref, r3_ref):
     """Catmull-Rom 4x4-tap variant: er/ec point at the FIRST tap
-    (floor - 1, pre-shifted by the wrapper). Per d, the four column
-    taps are gathered and x-blended into one plane; a rolling window
-    of the last four planes y-blends into the output for pixels whose
-    first row tap is d-3 rows back."""
+    (floor - 1, pre-shifted by the wrapper). Per executed d, the four
+    column taps are gathered and x-blended into one plane stored in a
+    4-slot scratch ring; the ring y-blends into the output for pixels
+    whose first row tap is d-3 rows back. Iterations outside
+    [smin, smax+3] are skipped at runtime."""
     w0 = jnp.concatenate([w00_ref[:], w10_ref[:], w20_ref[:]], axis=0)
     w1 = jnp.concatenate([w01_ref[:], w11_ref[:], w21_ref[:]], axis=0)
     w2 = jnp.concatenate([w02_ref[:], w12_ref[:], w22_ref[:]], axis=0)
@@ -152,6 +167,9 @@ def _warp_cubic_kernel(oy_ref, ox_ref, w00_ref, w01_ref, w02_ref,
     ec = ec_ref[:]
     fy = fy_ref[:]
     fx = fx_ref[:]
+    v = pk_ref[pl.program_id(0), pl.program_id(1)]
+    smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - 8
+    smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - 8
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 0)
     d_pix = er - i_loc
@@ -174,25 +192,29 @@ def _warp_cubic_kernel(oy_ref, ox_ref, w00_ref, w01_ref, w02_ref,
                       jnp.take_along_axis(A2, e2, axis=1))
         return jnp.where(in0, jnp.take_along_axis(A0, e0, axis=1), g)
 
-    acc = jnp.zeros((_TR, _TC), fy.dtype)
-    ring = []
+    ring = (r0_ref, r1_ref, r2_ref, r3_ref)
+    acc_ref[:] = jnp.zeros((_TR, _TC), fy.dtype)
     for d in range(-_TR + 1, _NB * _WR):
-        a0 = d + _TR
-        A0 = w0[a0:a0 + _TR]
-        A1 = w1[a0:a0 + _TR]
-        A2 = w2[a0:a0 + _TR]
-        cv = (wx[0] * gather(A0, A1, A2, ts[0])
-              + wx[1] * gather(A0, A1, A2, ts[1])
-              + wx[2] * gather(A0, A1, A2, ts[2])
-              + wx[3] * gather(A0, A1, A2, ts[3]))
-        ring.append(cv)
-        if len(ring) > 4:
-            ring.pop(0)
-        if len(ring) == 4:
-            val = (wy[0] * ring[0] + wy[1] * ring[1]
-                   + wy[2] * ring[2] + wy[3] * ring[3])
-            acc = jnp.where(d_pix == d - 3, val, acc)
-    out_ref[:] = acc
+        @pl.when((d >= smin) & (d <= smax + 3))
+        def _body(d=d):
+            a0 = d + _TR
+            A0 = w0[a0:a0 + _TR]
+            A1 = w1[a0:a0 + _TR]
+            A2 = w2[a0:a0 + _TR]
+            cv = (wx[0] * gather(A0, A1, A2, ts[0])
+                  + wx[1] * gather(A0, A1, A2, ts[1])
+                  + wx[2] * gather(A0, A1, A2, ts[2])
+                  + wx[3] * gather(A0, A1, A2, ts[3]))
+            ring[d % 4][:] = cv
+            # selection for pixels with first row tap at d-3: ring
+            # slots (d-3)..d; at d < smin+3 some slots hold garbage,
+            # but d_pix == d-3 < smin is then all-false.
+            val = (wy[0] * ring[(d - 3) % 4][:]
+                   + wy[1] * ring[(d - 2) % 4][:]
+                   + wy[2] * ring[(d - 1) % 4][:]
+                   + wy[3] * cv)
+            acc_ref[:] = jnp.where(d_pix == d - 3, val, acc_ref[:])
+    out_ref[:] = acc_ref[:]
 
 
 @partial(jax.jit, static_argnames=("interpret", "taps"))
@@ -225,19 +247,37 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
     er = jnp.clip(iy0 - oy_full * _WR, 0, _NB * _WR - taps)
     ec = jnp.clip(ix0 - ox_full * _WC, 0, _NC * _WC - taps)
 
+    # Per-tile d_pix range for the kernels' runtime iteration skip.
+    d_pix = er - i_loc
+    dt4 = d_pix.reshape(nr, _TR, nc, _TC)
+    dmin = dt4.min(axis=(1, 3))
+    dmax = dt4.max(axis=(1, 3))
+
+    dtype = image.dtype
+    scratch = [pltpu.VMEM((_TR, _TC), dtype)] * (2 if taps == 2 else 4)
+    # All four per-tile scalars (window base oy/ox, d_pix range) ride
+    # in ONE bit-packed scalar-prefetch array: SMEM is 1MB total and
+    # whole-array prefetch operands live there ((n/8, m/128) int32 is
+    # 256KB at 4096^2; Mosaic rejects (1,1)/size-1 SMEM input blocks,
+    # so packing is the only way to stay within budget). Layout:
+    # oy | ox<<9 | (dmin+8)<<18 | (dmax+8)<<25.
+    pk = (oy | (ox << 9) | ((dmin + 8) << 18)
+          | ((dmax + 8) << 25)).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nr, nc),
         in_specs=[
             pl.BlockSpec((_WR, _WC),
-                         (lambda dy, dx: lambda r, c, oy_, ox_:
-                          (oy_[r, c] + dy, ox_[r, c] + dx))(dy, dx))
+                         (lambda dy, dx: lambda r, c, pk_:
+                          ((pk_[r, c] & 511) + dy,
+                           ((pk_[r, c] >> 9) & 511) + dx))(dy, dx))
             for dy in range(_NB) for dx in range(_NC)
         ] + [
-            pl.BlockSpec((_TR, _TC), lambda r, c, oy_, ox_: (r, c))
+            pl.BlockSpec((_TR, _TC), lambda r, c, pk_: (r, c))
             for _ in range(4)
         ],
-        out_specs=pl.BlockSpec((_TR, _TC), lambda r, c, oy_, ox_: (r, c)),
+        out_specs=pl.BlockSpec((_TR, _TC), lambda r, c, pk_: (r, c)),
+        scratch_shapes=[pltpu.VMEM((_TR, _TC), dtype)] + scratch,
     )
     kernel = _warp_kernel if taps == 2 else _warp_cubic_kernel
     return pl.pallas_call(
@@ -245,7 +285,7 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ch, cw), image.dtype),
         interpret=interpret,
-    )(oy, ox, *([image] * (_NB * _NC)), er, ec, fy, fx)
+    )(pk, *([image] * (_NB * _NC)), er, ec, fy, fx)
 
 
 def _pad_to(x, rows, cols, edge=False):
