@@ -32,14 +32,16 @@ def periodic_average(X, period=2 * np.pi, weights=1.0, **kwargs):
     Matches pyGPA.mathtools.periodic_average (mathtools.py:6-10):
     average the unit phasors and return the angle rescaled to `period`.
     """
-    Y = weights * jnp.exp(1j * 2 * jnp.pi / period * X)
+    phx = (2 * jnp.pi / period) * X
+    Y = weights * jax.lax.complex(jnp.cos(phx), jnp.sin(phx))
     Y = jnp.angle(jnp.mean(Y, **kwargs))
     return Y * period / (2 * jnp.pi)
 
 
 def periodic_difference(X, Y, period=2 * np.pi):
     """Periodic difference of X and Y (mathtools.py:13-17)."""
-    Z = jnp.exp(1j * 2 * jnp.pi / period * (X - Y))
+    phz = (2 * jnp.pi / period) * (X - Y)
+    Z = jax.lax.complex(jnp.cos(phz), jnp.sin(phz))
     return jnp.angle(Z) * period / (2 * jnp.pi)
 
 

@@ -36,7 +36,9 @@ def plane_wave(shape, kvec, dtype=jnp.float32, sign=1.0):
     x = jnp.arange(shape[0], dtype=dtype)[:, None]
     y = jnp.arange(shape[1], dtype=dtype)[None, :]
     phase = 2 * jnp.pi * (x * kvec[0] + y * kvec[1]) * sign
-    return jnp.exp(1j * phase.astype(dtype)).astype(cdt)
+    ph = phase.astype(dtype)
+    # eager complex literals are UNIMPLEMENTED on the TPU backend
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph)).astype(cdt)
 
 
 def gpa_lockin(image, kvec, sigma=22.0):

@@ -390,12 +390,16 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
     if rebase:
         # separable rank-1 plane wave: two length-N exp vectors instead
         # of a full-size transcendental field
-        px = jnp.exp(2j * jnp.pi
-                     * (jnp.arange(shape[0], dtype=rdt) * kref[0].astype(rdt))
-                     ).astype(best_lockin.dtype)
-        py = jnp.exp(2j * jnp.pi
-                     * (jnp.arange(shape[1], dtype=rdt) * kref[1].astype(rdt))
-                     ).astype(best_lockin.dtype)
+        # lax.complex(cos, sin) rather than exp(2j*...): a complex
+        # literal in an EAGER op is UNIMPLEMENTED on the TPU backend
+        phx = (2 * jnp.pi) * (jnp.arange(shape[0], dtype=rdt)
+                              * kref[0].astype(rdt))
+        phy = (2 * jnp.pi) * (jnp.arange(shape[1], dtype=rdt)
+                              * kref[1].astype(rdt))
+        px = jax.lax.complex(jnp.cos(phx), jnp.sin(phx)
+                             ).astype(best_lockin.dtype)
+        py = jax.lax.complex(jnp.cos(phy), jnp.sin(phy)
+                             ).astype(best_lockin.dtype)
         out = {"lockin": best_lockin * px[:, None] * py[None, :]}
     else:
         # demodulated lock-in: phase measured relative to kref's plane
