@@ -6,6 +6,7 @@ Reference behavior: /root/reference/pyGPA/geometric_phase_analysis.py:
 """
 import jax.numpy as jnp
 
+from ..config import DEFAULTS
 from ..core.mathtools import periodic_average
 from ..lattices.transformations import rotate
 
@@ -40,7 +41,7 @@ def ratio2angle(R):
     return jnp.rad2deg(2 * jnp.arcsin(R / 2))
 
 
-def f2angle(f, nmperpixel=1.0, a_0=0.246):
+def f2angle(f, nmperpixel=1.0, a_0=DEFAULTS.a_0):
     """Twist angle (degrees) for moire line frequency f (unit cells /
     pixel) on a lattice with constant a_0 nm
     (geometric_phase_analysis.py:352-368)."""

@@ -14,6 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import DEFAULTS
 from ..core import interp
 from ..core.fourier import fourier_gaussian_multiplier, wiener_deconvolve
 from ..ops.wfr import wfr_sweep
@@ -114,7 +115,8 @@ def undistort_image(deformed, u, order=3, coarse=1, invert_iters=35):
                                   mode="constant", cval=0.0)
 
 
-def gaussian_deconvolve(data, sigma, dr=20, balance=5000):
+def gaussian_deconvolve(data, sigma, dr=DEFAULTS.wiener_pad,
+                        balance=DEFAULTS.wiener_balance):
     """Wiener-deconvolve a (stack of) image(s) by the GPA Gaussian
     window (geometric_phase_analysis.py:892-904): reflect-pad by 2*dr,
     divide by the Gaussian transfer with Laplacian regularization,
@@ -128,9 +130,12 @@ def gaussian_deconvolve(data, sigma, dr=20, balance=5000):
     return out[..., 2 * dr: -2 * dr, 2 * dr: -2 * dr]
 
 
-def make_displacement_extractor(shape, kvecs, sigma=None, kwscale=2.5,
-                                ksteps=3, deconvolve=False, chunk=8,
-                                unwrap_kmax=10, unwrap_coarse=None,
+def make_displacement_extractor(shape, kvecs, sigma=None,
+                                kwscale=DEFAULTS.kw_scale,
+                                ksteps=DEFAULTS.ksteps,
+                                deconvolve=False, chunk=8,
+                                unwrap_kmax=DEFAULTS.unwrap_kmax_reconstruct,
+                                unwrap_coarse=None,
                                 dtype=jnp.float32):
     """Build a single fully-jitted displacement-extraction program for
     a fixed image shape and k-vector set: 3 WFR sweeps on one shared
@@ -187,10 +192,13 @@ def make_displacement_extractor(shape, kvecs, sigma=None, kwscale=2.5,
     return run
 
 
-def extract_displacement_field(image, kvecs, sigma=None, kwscale=2.5,
-                               ksteps=3, return_gs=False, wfr_func=None,
+def extract_displacement_field(image, kvecs, sigma=None,
+                               kwscale=DEFAULTS.kw_scale,
+                               ksteps=DEFAULTS.ksteps,
+                               return_gs=False, wfr_func=None,
                                deconvolve=False, with_grad=False,
-                               chunk=8, unwrap_kmax=10):
+                               chunk=8,
+                               unwrap_kmax=DEFAULTS.unwrap_kmax_reconstruct):
     """Extract the displacement field of a (moire) lattice image.
 
     The reference's top-level convenience pipeline

@@ -10,6 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import DEFAULTS
 from ..core.mathtools import wrap_to_pi, fit_plane
 from ..solvers.lstsq import weighted_lstsq_stack
 from ..solvers.unwrap import (phase_unwrap, phase_unwrap_prediff,
@@ -80,7 +81,8 @@ def reconstruct_u_inv_from_phases(kvecs, phases, weights,
     return unwrap(dudx, dudy)
 
 
-def refine_ks(image, kvecs, sigma=None, iters=3, kmax_iter=25):
+def refine_ks(image, kvecs, sigma=None, iters=3,
+              kmax_iter=DEFAULTS.unwrap_kmax_iterate):
     """Refine detected k-vectors to sub-grid accuracy via the
     iterate_GPA plane-fit loop (detected peaks are limited to ~1/size;
     displacement extraction with unrefined ks leaks a delta_k * r ramp
@@ -123,7 +125,8 @@ def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10,
 
 
 def iterate_GPA(image, kvecs, sigma, edge=5, iters=3,
-                kmax_iter=25, kmax=200, verbose=False):
+                kmax_iter=DEFAULTS.unwrap_kmax_iterate,
+                kmax=DEFAULTS.unwrap_kmax_final, verbose=False):
     """Iteratively refine the reference k-vectors: lock-in -> unwrap ->
     plane-fit the phase -> shift k by slope/2*pi, then a final unwrap
     with larger kmax (geometric_phase_analysis.py:116-154).

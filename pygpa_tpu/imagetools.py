@@ -62,48 +62,65 @@ def homogenize_per_axis(image, sigma=200, mask=None,
     return res
 
 
+def _nan_rows_cols(image):
+    """Per-(row, column) NaN indicator of a 2D(+channels) image.
+    Color channels collapse the way the reference treats them
+    (imagetools.py:128-142): RGBA ignores the alpha channel."""
+    nan = np.isnan(np.asarray(image))
+    if nan.ndim >= 3:
+        if nan.shape[-1] == 4:
+            nan = nan[..., :3]
+        nan = nan.any(axis=tuple(range(2, nan.ndim)))
+    return nan
+
+
 def trim_nans(image):
-    """Drop all-NaN rows/columns (imagetools.py:128-142). Host-side."""
+    """Drop rows/columns that are entirely NaN (contract of reference
+    imagetools.py:128-142). Host-side (data-dependent shape)."""
     image = np.asarray(image)
-    xmask = np.all(np.isnan(image), axis=1)
-    ymask = np.all(np.isnan(image), axis=0)
-    if len(image.shape) >= 3:
-        if image.shape[-1] == 4:
-            xmask = np.any(xmask[..., :3], axis=-1)
-            ymask = np.any(ymask[..., :3], axis=-1)
-        else:
-            xmask = np.any(xmask, axis=-1)
-            ymask = np.any(ymask, axis=-1)
-    return image[~xmask][:, ~ymask]
+    nan = _nan_rows_cols(image)
+    keep_r = np.flatnonzero(~nan.all(axis=1))
+    keep_c = np.flatnonzero(~nan.all(axis=0))
+    return image[keep_r][:, keep_c]
 
 
 def trim_nans2(image, return_lims=False):
-    """Greedy row/column peel of NaN borders, preserving area
-    (imagetools.py:145-175). Host-side."""
-    timage = np.asarray(image).copy()
-    xlims = [0, timage.shape[0]]
-    ylims = [0, timage.shape[1]]
+    """Peel NaN-containing border rows/columns greedily, keeping as
+    much area as possible (contract of reference imagetools.py:
+    145-175). Host-side.
+
+    Implementation: instead of re-slicing the array every round, track
+    the live window [x0, x1) x [y0, y1) against NaN-count prefix sums,
+    so each peel decision costs O(1) after one O(N*M) pass."""
+    image = np.asarray(image)
+    nan = _nan_rows_cols(image).astype(np.int64)
+    # prefix[i, j] = NaN count in row i, cols [0, j) / col j, rows [0, i)
+    row_pre = np.pad(np.cumsum(nan, axis=1), ((0, 0), (1, 0)))
+    col_pre = np.pad(np.cumsum(nan, axis=0), ((1, 0), (0, 0)))
+    x0, x1 = 0, image.shape[0]
+    y0, y1 = 0, image.shape[1]
+
+    def row_count(i):
+        return row_pre[i, y1] - row_pre[i, y0]
+
+    def col_count(j):
+        return col_pre[x1, j] - col_pre[x0, j]
+
     while True:
-        r = np.isnan(timage[[0, -1]]).sum(axis=1)
-        c = np.isnan(timage[:, [0, -1]]).sum(axis=0)
-        if r.sum() == 0 and c.sum() == 0:
-            if return_lims:
-                return timage, np.array([xlims, ylims])
-            return timage
-        elif r.sum() > c.sum():
-            if r[0] > 0:
-                timage = timage[1:]
-                xlims[0] += 1
-            if r[1] > 0:
-                timage = timage[:-1]
-                xlims[1] -= 1
+        r_top, r_bot = row_count(x0), row_count(x1 - 1)
+        c_left, c_right = col_count(y0), col_count(y1 - 1)
+        if r_top + r_bot + c_left + c_right == 0:
+            break
+        if r_top + r_bot > c_left + c_right:
+            x0 += r_top > 0
+            x1 -= r_bot > 0
         else:
-            if c[0] > 0:
-                timage = timage[:, 1:]
-                ylims[0] += 1
-            if c[1] > 0:
-                timage = timage[:, :-1]
-                ylims[1] -= 1
+            y0 += c_left > 0
+            y1 -= c_right > 0
+    trimmed = image[x0:x1, y0:y1]
+    if return_lims:
+        return trimmed, np.array([[x0, x1], [y0, y1]])
+    return trimmed
 
 
 def generate_mask(dataset, mask_value, r=20):
@@ -128,76 +145,19 @@ def generate_mask(dataset, mask_value, r=20):
 
 
 def cull_by_mask(data, mask):
-    """Remove edge rows/columns fully outside the mask
-    (imagetools.py:188-194). Host-side."""
+    """Crop a (stack of) image(s) to the bounding box of the mask's
+    nonzero rows/columns (contract of reference imagetools.py:188-194).
+    Host-side."""
     data = np.asarray(data)
-    mask = np.asarray(mask)
-    xlims = np.where(np.sum(mask, axis=1))[0]
-    ylims = np.where(np.sum(mask, axis=0))[0]
-    return data[..., xlims.min():xlims.max() + 1,
-                ylims.min():ylims.max() + 1]
+    alive_r = np.asarray(mask).any(axis=1)
+    alive_c = np.asarray(mask).any(axis=0)
+    x0 = int(alive_r.argmax())
+    x1 = len(alive_r) - int(alive_r[::-1].argmax())
+    y0 = int(alive_c.argmax())
+    y1 = len(alive_c) - int(alive_c[::-1].argmax())
+    return data[..., x0:x1, y0:y1]
 
 
-def to_KovesiRGB(image):
-    """Kovesi RGB basis (imagetools.py:197-204)."""
-    A = jnp.array([[0.90, 0.17, 0.00],
-                   [0.00, 0.50, 0.00],
-                   [0.10, 0.33, 1.00]])
-    return jnp.dot(jnp.asarray(image), A)
-
-
-def fftplot(fftim, d=1, pcolormesh=True, contour=False, levels=None,
-            **kwargs):
-    """Plot a Fourier-transformed image with correct axes
-    (imagetools.py:29-55)."""
-    import matplotlib.pyplot as plt
-    fftim = np.asarray(fftim)
-    x, y = [fftbounds(n, d) for n in fftim.shape]
-    origin = kwargs.pop("origin", "upper")
-    ax = kwargs.pop("ax", None)
-    if ax is None:
-        _, ax = plt.subplots()
-    if pcolormesh:
-        X, Y = np.meshgrid(x, y, indexing="xy")
-        im = ax.pcolormesh(X, Y, fftim.T, **kwargs)
-    else:
-        if origin == "upper":
-            y = y[::-1]
-        extent = [x[0], x[-1], y[0], y[-1]]
-        im = ax.imshow(fftim.T, extent=extent, origin=origin, **kwargs)
-        if contour:
-            ax.contour(fftim.T, colors="white", extent=extent, alpha=0.3,
-                       levels=levels)
-    ax.set_aspect("equal")
-    return im
-
-
-def indicate_k(pks, i, ax=None, inset=True, size="25%", origin="upper",
-               s=10, colors=("red", "gray")):
-    """Highlight the i-th k-vector with an arrow (imagetools.py:58-89,
-    with the Python >= 3.10 Iterable fix)."""
-    import matplotlib.pyplot as plt
-    from collections.abc import Iterable
-    from mpl_toolkits.axes_grid1.inset_locator import inset_axes
-    ks = np.asarray(pks).copy()
-    if not ax:
-        ax = plt.gca()
-    if inset:
-        ax = inset_axes(ax, width=size, height=size, loc=2)
-        ax.tick_params(labelleft=False, labelbottom=False,
-                       direction="in", length=0)
-        for axis in ["top", "bottom", "left", "right"]:
-            ax.spines[axis].set_color("None")
-        ax.patch.set_alpha(0.0)
-    if origin == "upper":
-        ks[:, 1] *= -1
-    ax.scatter(*np.concatenate([ks, -ks, [[0, 0]]]).T, color=colors[1], s=s)
-    ax.scatter(ks[i, 0], ks[i, 1], color=colors[0], s=3 * s)
-    if isinstance(i, Iterable):
-        for j in i:
-            ax.arrow(0, 0, ks[j, 0], ks[j, 1], length_includes_head=True)
-    else:
-        ax.arrow(0, 0, ks[i, 0], ks[i, 1], length_includes_head=True,
-                 color="black")
-    ax.set_aspect("equal")
-    return ax
+# plotting / colormap helpers live in pygpa_tpu.viz (compute-free);
+# re-exported here for reference API parity (imagetools.py:29-89,197-204)
+from .viz import fftplot, indicate_k, to_KovesiRGB  # noqa: E402,F401

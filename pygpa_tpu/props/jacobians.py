@@ -14,6 +14,7 @@ TPU-native notes:
 """
 import jax.numpy as jnp
 
+from ..config import DEFAULTS
 from ..core.mathtools import (wrap_to_pi, periodic_average,
                               periodic_difference, standardize_ks)
 from ..solvers.lstsq import weighted_lstsq_stack
@@ -50,7 +51,7 @@ def svd2x2_planes(a, b, c, d):
 
 
 def _props_core(a, b, c, d, refangle=0.0, refscale=1.0, diff=False,
-                phys=False, poisson_ratio=0.16):
+                phys=False, poisson_ratio=DEFAULTS.poisson_ratio):
     """Shared plane-based property decomposition
     (property_extract.py:137-217): the sign-fixed SVD algebra on
     component planes."""
@@ -90,7 +91,7 @@ def _props_core(a, b, c, d, refangle=0.0, refscale=1.0, diff=False,
 
 def props_from_planes(J00, J01, J10, J11, refangle=0.0, refscale=1.0,
                       diff=False, decomposition=None,
-                      poisson_ratio=0.16, jac=False):
+                      poisson_ratio=DEFAULTS.poisson_ratio, jac=False):
     """props_from_Jac on component planes — the layout big fields must
     use on TPU. With jac=False the planes are J (I is added here)."""
     eye = 0.0 if jac else 1.0
@@ -157,7 +158,7 @@ def props_from_Jac(Jac, refangle=0.0, refscale=1.0, diff=False):
 
 
 def phys_props_from_Jac(Jac, refangle=0.0, refscale=1.0, diff=False,
-                        poisson_ratio=0.16):
+                        poisson_ratio=DEFAULTS.poisson_ratio):
     """Physical (heterostrain) decomposition
     (property_extract.py:181-217). Returns
     [angle, strain angle, alpha, epsilon]."""
@@ -344,7 +345,7 @@ def u_moire_2_u_diff(u, theta_iso):
 
 
 def Jac_diff_from_phasegradient(kvecs, grads, weights, nmperpixel,
-                                a_0=0.246):
+                                a_0=DEFAULTS.a_0):
     """(property_extract.py:321-331)."""
     J = phasegradient2J(kvecs, grads, weights, nmperpixel)
     r_k, theta_0, symmetry = get_initial_props(kvecs)
@@ -374,12 +375,12 @@ def calc_eps_from_phasegradient(kvecs, grads, weights, nmperpixel):
                                            nmperpixel)
     props = props_from_Jac(Jac_diff)
     kappa = props[3]
-    delta = 0.16
+    delta = DEFAULTS.poisson_ratio
     return (kappa - 1) / (1 + delta * kappa)
 
 
 def calc_props_from_phasegradient2(kvecs, grads, weights, nmperpixel,
-                                   a_0=0.246):
+                                   a_0=DEFAULTS.a_0):
     """Uniaxial-strain properties from phase gradients
     (property_extract.py:334-356)."""
     kvecs = jnp.asarray(kvecs)
@@ -408,7 +409,7 @@ def calc_props_from_kvecs4(ks, decomposition=None, standardize=False):
     return props.at[2].multiply(r_k)
 
 
-def moire_props_from_Jac(kvecs, Jac, nmperpixel, a_0=0.246,
+def moire_props_from_Jac(kvecs, Jac, nmperpixel, a_0=DEFAULTS.a_0,
                          decomposition=None):
     """(property_extract.py:442-454)."""
     r_k, theta_0, symmetry = get_initial_props(kvecs)
@@ -422,7 +423,7 @@ def moire_props_from_Jac(kvecs, Jac, nmperpixel, a_0=0.246,
     return props.at[1].add(-theta_iso / 2)
 
 
-def calc_moire_props_from_kvecs(ks, nmperpixel=3.7, a_0=0.246,
+def calc_moire_props_from_kvecs(ks, nmperpixel=3.7, a_0=DEFAULTS.a_0,
                                 decomposition="physical"):
     """(property_extract.py:395-419)."""
     Jac = kvecs2Jac(ks, standardize=False)
@@ -431,7 +432,7 @@ def calc_moire_props_from_kvecs(ks, nmperpixel=3.7, a_0=0.246,
 
 
 def moire_props_from_phasegradient(kvecs, grads, weights, nmperpixel,
-                                   a_0=0.246, decomposition=None):
+                                   a_0=DEFAULTS.a_0, decomposition=None):
     """(property_extract.py:422-439)."""
     Jac = phasegradient2Jac(kvecs, grads, weights, nmperpixel)
     return moire_props_from_Jac(kvecs, Jac, nmperpixel, a_0, decomposition)
@@ -445,7 +446,7 @@ def twist_matrix(angle):
     return jnp.array([[c, -s], [s, c]]) - jnp.array([[c, s], [-s, c]])
 
 
-def calc_abcd(J, delta=0.16):
+def calc_abcd(J, delta=DEFAULTS.poisson_ratio):
     """Symmetric/antisymmetric decomposition of J
     (property_extract.py:511-520)."""
     a = (J[..., 0, 0] + J[..., 1, 1]) / (1 - delta)
@@ -455,7 +456,7 @@ def calc_abcd(J, delta=0.16):
     return a, b, c, d
 
 
-def double_strain_decomp(Jac, delta=0.16):
+def double_strain_decomp(Jac, delta=DEFAULTS.poisson_ratio):
     """Analytical double-strain decomposition
     (property_extract.py:523-578; marked UNTESTED in the reference —
     ported as-is, without its debug prints).

@@ -19,6 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import DEFAULTS
 from ..core.mathtools import periodic_average, periodic_difference
 from ..lattices.transformations import (rotation_matrix, strain_matrix,
                                         a_0_to_r_k,
@@ -68,7 +69,7 @@ def _lm_solve(residual_fn, x0, lower, upper, iters=60):
 
 # ------------------------------------------------------------- residuals
 
-def moire_amplitudes(theta, psi, epsilon, a_0=0.246):
+def moire_amplitudes(theta, psi, epsilon, a_0=DEFAULTS.a_0):
     """|ks1 - ks2| for a twisted, strained bilayer
     (property_extract.py:581-588)."""
     ks1 = generate_ks(a_0_to_r_k(a_0), 0.0)[:3]
@@ -137,7 +138,7 @@ def _fit_jac(est, JacA0):
 
 # ------------------------------------------------------------ public API
 
-def Kerelsky(kvecs, nmperpixel=1.0, a_0=0.246):
+def Kerelsky(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0):
     """Fit (theta, psi, epsilon) to the measured |k| amplitudes
     (property_extract.py:590-601)."""
     knorms = jnp.linalg.norm(jnp.asarray(kvecs), axis=1) * nmperpixel
@@ -157,7 +158,7 @@ def Kerelsky(kvecs, nmperpixel=1.0, a_0=0.246):
     return np.asarray(x)
 
 
-def Kerelsky_plus(kvecs, nmperpixel=1.0, a_0=0.246, reference=None,
+def Kerelsky_plus(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
                   debug=False, sort=0):
     """Fit (theta, psi, epsilon, xi) so generated moire ks match
     `kvecs` (property_extract.py:604-689), with the reference's
@@ -216,7 +217,7 @@ def _jac_a0(kvecs, nmperpixel, a_0, sort):
     return lkvecs, A0
 
 
-def Kerelsky_Jac(kvecs, nmperpixel=1.0, a_0=0.246, reference=None,
+def Kerelsky_Jac(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
                  debug=False, sort=0):
     """Fit (theta, psi, epsilon, xi) to the k-space Jacobian JacA0 with
     kvecs = k0s @ JacA0.T (property_extract.py:707-777)."""
@@ -266,7 +267,7 @@ def iterate_J_leastsq(JacA0s, refest, lq_kwargs=None):
     return _field_fit(jnp.asarray(JacA0s), jnp.asarray(refest))
 
 
-def Kerelsky_J(J, kvecs, nmperpixel=1.0, a_0=0.246, reference=None,
+def Kerelsky_J(J, kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
                debug=False, sort=0, lq_kwargs=None):
     """Field version: fit (theta, psi, epsilon, xi) per pixel of a
     (N, M, 2, 2) J field (property_extract.py:780-860). Returns
@@ -292,7 +293,7 @@ def Kerelsky_J(J, kvecs, nmperpixel=1.0, a_0=0.246, reference=None,
     return X, refest
 
 
-def moire_props_from_Jac_2_Kerelsky(kvecs, Jac, nmperpixel, a_0=0.246,
+def moire_props_from_Jac_2_Kerelsky(kvecs, Jac, nmperpixel, a_0=DEFAULTS.a_0,
                                     decomposition=None):
     """(property_extract.py:482-488)."""
     kvecs = jnp.asarray(kvecs)

@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..config import DEFAULTS
 from ..core.fourier import dct2n, idct2n
 from ..core.mathtools import wrap_to_pi
 
@@ -117,7 +118,8 @@ def _residual(dx, dy, weight):
     return rk, WWx, WWy
 
 
-def phase_unwrap(psi, weight=None, kmax=100, return_iters=False):
+def phase_unwrap(psi, weight=None, kmax=DEFAULTS.unwrap_kmax,
+                 return_iters=False):
     """Unwrap the phase image `psi` given `weight`.
 
     Drop-in for pyGPA.phase_unwrap.phase_unwrap (phase_unwrap.py:
@@ -135,7 +137,8 @@ def phase_unwrap(psi, weight=None, kmax=100, return_iters=False):
     return (phi, k) if return_iters else phi
 
 
-def phase_unwrap_prediff(dx, dy, weight=None, kmax=100,
+def phase_unwrap_prediff(dx, dy, weight=None,
+                         kmax=DEFAULTS.unwrap_kmax,
                          return_iters=False):
     """Unwrap from phase gradients dx = diff(psi, axis=-1) (N, M-1) and
     dy = diff(psi, axis=-2) (N-1, M). Drop-in for
@@ -203,13 +206,14 @@ def _wrapToPi(x):
     return wrap_to_pi(x)
 
 
-def phase_unwrap_ref(psi, weight=None, kmax=100):
+def phase_unwrap_ref(psi, weight=None, kmax=DEFAULTS.unwrap_kmax):
     """Non-precomputed reference variant (phase_unwrap.py:26-78) —
     same solver here."""
     return phase_unwrap(psi, weight, kmax)
 
 
-def phase_unwrap_ref_prediff(dx, dy, weight=None, kmax=100):
+def phase_unwrap_ref_prediff(dx, dy, weight=None,
+                             kmax=DEFAULTS.unwrap_kmax):
     """(phase_unwrap.py:211-279) — same solver here."""
     return phase_unwrap_prediff(dx, dy, weight, kmax)
 

@@ -116,20 +116,34 @@ def _drizzle(image, u, ks, rmin, rsize, z):
     return (res / wsum).reshape(rsize), wsum.reshape(rsize)
 
 
-def unit_cell_average(image, ks, u=None, z=1, return_weights=False):
+def unit_cell_average(image, ks, u=None, z=1, return_weights=False,
+                      only_generate_func=False):
     """Average an image over all its unit cells (drizzle)
     (unit_cell_averaging.py:132-205). NaN pixels are skipped (mask
     support); unvisited output bins come back NaN (0/0), matching the
     reference's nan padding. `u` is an optional (2, N, M) displacement
-    field applied before binning."""
-    image = jnp.asarray(image)
-    rmin, rsize = calc_ucell_parameters(np.asarray(ks), z)
-    if u is None:
-        u = jnp.zeros((2,) + image.shape, image.dtype)
-    else:
-        u = jnp.asarray(u, image.dtype)
-    res, wsum = _drizzle(image, u, jnp.asarray(ks), tuple(rmin),
-                         tuple(int(r) for r in rsize), int(z))
+    field applied before binning.
+
+    With only_generate_func=True, returns the averaging function
+    f(image, u=None) with (ks, z) baked in — the reference's factory
+    form (unit_cell_averaging.py:132,153-155,203-204), except that here
+    the closure is one cached jit program instead of a fresh numba
+    compile per call."""
+    ks = np.asarray(ks)
+    rmin, rsize = calc_ucell_parameters(ks, z)
+    rmin = tuple(rmin)
+    rsize = tuple(int(r) for r in rsize)
+    ks_d = jnp.asarray(ks)
+
+    def run(image, u=None):
+        image = jnp.asarray(image)
+        uu = (jnp.zeros((2,) + image.shape, image.dtype) if u is None
+              else jnp.asarray(u, image.dtype))
+        return _drizzle(image, uu, ks_d, rmin, rsize, int(z))
+
+    if only_generate_func:
+        return lambda image, u=None: run(image, u)[0]
+    res, wsum = run(image, u)
     if return_weights:
         return res, wsum
     return res
