@@ -51,6 +51,31 @@ def fourier_gaussian_multiplier(shape, sigma, dtype=jnp.float32,
 _MXU_FFT_RADIX = 64
 _MXU_FFT_MIN = 512  # below this the VPU FFT wins (dispatch/GEMM setup)
 
+# Matmul precision of the MXU FFT/DCT stages. HIGHEST is float32-exact
+# (6 bf16 MXU passes); HIGH (bf16x3, ~1e-7 relative) halves the cost of
+# the transform-bound CG preconditioner. The unwrap solver switches to
+# HIGH locally (solvers/unwrap.py); the public dct2n/idct2n default to
+# exact.
+_MXU_FFT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+class mxu_fft_precision:
+    """Context manager scoping the MXU FFT/DCT matmul precision."""
+
+    def __init__(self, precision):
+        self.precision = precision
+
+    def __enter__(self):
+        global _MXU_FFT_PRECISION
+        self.saved = _MXU_FFT_PRECISION
+        _MXU_FFT_PRECISION = self.precision
+        return self
+
+    def __exit__(self, *exc):
+        global _MXU_FFT_PRECISION
+        _MXU_FFT_PRECISION = self.saved
+        return False
+
 
 def _mxu_fft_supported(n):
     return n >= _MXU_FFT_MIN and n % _MXU_FFT_RADIX == 0
@@ -75,7 +100,7 @@ def _mxu_fft_real(v):
     n = v.shape[-1]
     dt = v.dtype
     W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, False)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MXU_FFT_PRECISION
     n1 = _MXU_FFT_RADIX
     xr = v.reshape(v.shape[:-1] + (n1, n // n1))           # (j1, j2)
     Ar = jnp.einsum("kj,...jm->...km", W1c, xr, precision=hi)
@@ -99,7 +124,7 @@ def _mxu_ifft_real_out(Fr, Fi):
     n = Fr.shape[-1]
     dt = Fr.dtype
     W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, True)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MXU_FFT_PRECISION
     n1 = _MXU_FFT_RADIX
     xr = Fr.reshape(Fr.shape[:-1] + (n1, n // n1))
     xi = Fi.reshape(Fi.shape[:-1] + (n1, n // n1))
@@ -191,7 +216,7 @@ def _dct2_axis2_mxu(x):
     n = x.shape[-2]
     dt = x.dtype
     W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, False)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MXU_FFT_PRECISION
     n1 = _MXU_FFT_RADIX
     v = _perm_axis2(x)
     xr = v.reshape(v.shape[:-2] + (n1, n // n1, v.shape[-1]))  # j1 j2 m
@@ -219,7 +244,7 @@ def _idct2_axis2_mxu(y):
     n = y.shape[-2]
     dt = y.dtype
     W1c, W1s, W2c, W2s, Twc, Tws = _mxu_fft_factors(n, dt, True)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MXU_FFT_PRECISION
     n1 = _MXU_FFT_RADIX
     k = jnp.arange(n, dtype=_real_dtype(dt))[:, None]
     ynk = jnp.concatenate([jnp.zeros_like(y[..., :1, :]),

@@ -1,26 +1,37 @@
-"""Fused zoom-sweep kernel: column DFT matmul + |.|^2 + argmax
-tournament in one pass, per output tile.
+"""Fully-fused zoom-sweep kernel: both DFT matmul stages + |.|^2 +
+argmax tournament in one pallas_call.
 
 The zoom WFR sweep (ops/wfr.py:_wfr_sweep_zoom) evaluates each
-candidate's full-resolution lock-in as two skinny DFT matmuls. The
-second matmul's output — the (C, N, M) complex candidate planes — is
-pure intermediate: it is squared, compared against the running best,
-and discarded. Materializing it costs ~1 GB of HBM write+read traffic
-per candidate chunk at 4096^2, which dominates the sweep (the matmul
-FLOPs themselves are ~4 ms per full sweep).
+candidate's full-resolution lock-in M_w as two skinny DFT matmuls
+applied to the bandpassed spectrum window — the TPU-native form of the
+reference's per-candidate iFFT loop (optwfr2,
+/root/reference/pyGPA/geometric_phase_analysis.py:669-686). Both
+intermediates are pure scratch:
 
-This kernel keeps the candidate planes in VMEM: per (rows, 128)
-output tile it runs the C second-stage matmuls on the MXU
-(jax.lax.dot_general at HIGHEST precision, matching the XLA einsum),
-squares, and updates the four aliased carry planes — so per chunk the
-first-stage partials are read once (they are re-used across the
-column grid by Mosaic's revisit elision), the carries are read and
-written once, and the (C, N, M) planes never exist in HBM.
+ - the (C, N, W1) first-stage partials (~300 MB/sweep at 4096^2);
+ - the (C, N, M) candidate planes (~19 GB/sweep) that are squared,
+   compared against the running best, and discarded.
 
-A selection-only fusion (ops/pallas_select.py) was measured
-performance-neutral because XLA already fuses the where-tournament
-into the producer; the win here is specifically avoiding the
-second-matmul materialization.
+This kernel materializes neither. Grid (N/ROWS, M/128), row-major: at
+each new row block (c == 0) it computes the C first-stage partials
+T_i = A0[r] @ (gx_i * S * gy_i) into one VMEM scratch laid out as
+(C*ROWS, 2*W1) holding [Re T_i | Im T_i] row-blocks; every column step
+then evaluates ALL candidates with TWO dot_generals — the complex
+second stage collapses to real matmuls against [A1c | A1s] /
+[A1s | -A1c]... i.e. (C*ROWS, 2W1) @ (2W1, 128), a 512-deep
+contraction with M = C*ROWS ~ 4-6k that keeps the MXU saturated
+instead of 4*C skinny dots — followed by the where-tournament into
+the four carry planes. Per sweep the only HBM traffic is the carries
+(read+write once), the A0/A1 basis blocks, and the tiny spectrum
+window; the whole sweep is ONE kernel launch per Bragg peak.
+
+Matmul precision: HIGHEST (float32-exact, 6 MXU passes) or HIGH,
+implemented in-kernel as explicit bf16x3 (split each operand into
+bf16 high+low parts, 3 native passes, ~1e-7 relative error) because
+Mosaic's dot lowering has no HIGH mode. The sweep is MXU-bound
+(~1.2 TFLOP/sweep at 4096^2, 36 candidates), so HIGH is the
+production default in ops/wfr.py, accuracy-gated by the
+reference-tolerance pipeline tests and tests/test_tpu_hardware.py.
 """
 from functools import partial
 
@@ -29,74 +40,140 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_ROWS = 128   # output row-block (second-stage M rows per grid step)
+_COLS = 256   # output column-block (second-stage N per dot)
 
-def _kernel(tr_ref, ti_ref, ac_ref, as_ref, base_ref,
+
+def _dot_maker(precision):
+    """Return dot(a, b, dims) at the requested effective precision.
+    HIGH = explicit bf16x3 (Mosaic lowers only DEFAULT/HIGHEST)."""
+    if precision == jax.lax.Precision.HIGH:
+        def raw(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot(a, b, dims):
+            ahi, alo = split(a)
+            bhi, blo = split(b)
+            return (raw(ahi, bhi, dims) + raw(ahi, blo, dims)
+                    + raw(alo, bhi, dims))
+        return dot
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, dims, precision=precision,
+                                   preferred_element_type=jnp.float32)
+    return dot
+
+
+_D01 = (((1,), (0,)), ((), ()))   # contract a's last with b's first
+_D11 = (((1,), (1,)), ((), ()))   # contract both last dims
+
+
+def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
+            b1r_ref, b1i_ref, base_ref,
             ba_ref, br_ref, bi_ref, bx_ref,
-            oa_ref, or_ref, oi_ref, ox_ref):
-    C = tr_ref.shape[0]
+            oa_ref, or_ref, oi_ref, ox_ref,
+            t_ref, *, precision):
+    C = gx_ref.shape[0]
+    R = a0c_ref.shape[0]
+    W1 = sr_ref.shape[1]
+    dot = _dot_maker(precision)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _stage1():
+        sr = sr_ref[:]                    # (W0, W1) pre-scaled window
+        si = si_ref[:]
+        a0c = a0c_ref[:]                  # (R, W0) row basis block
+        a0s = a0s_ref[:]
+        for i in range(C):
+            g = gx_ref[i][:, None] * gy_ref[i][None, :]
+            swr = g * sr
+            swi = g * si
+            # T_i = (A0c + i A0s) @ (swr + i swi); contraction over W0
+            t_ref[i * R:(i + 1) * R, :W1] = (
+                dot(a0c, swr, _D01) - dot(a0s, swi, _D01))
+            t_ref[i * R:(i + 1) * R, W1:] = (
+                dot(a0c, swi, _D01) + dot(a0s, swr, _D01))
+
+    # second stage for ALL candidates in two deep dots:
+    #   Re M = Tr @ A1c^T - Ti @ A1s^T = [Tr|Ti] @ [A1c|-A1s]^T
+    #   Im M = Tr @ A1s^T + Ti @ A1c^T = [Tr|Ti] @ [A1s| A1c]^T
+    # b1r/b1i blocks arrive pre-concatenated as (128, 2*W1).
+    t = t_ref[:]                          # (C*R, 2*W1)
+    mall_r = dot(t, b1r_ref[:], _D11)     # (C*R, 128)
+    mall_i = dot(t, b1i_ref[:], _D11)
+
     ba = ba_ref[:]
     br = br_ref[:]
     bi = bi_ref[:]
     bx = bx_ref[:]
     base = base_ref[0]
-    ac = ac_ref[:]            # (128, W1) cos basis rows for this tile
-    as_ = as_ref[:]           # (128, W1) sin basis rows
-    dims = (((1,), (1,)), ((), ()))
-    hi = jax.lax.Precision.HIGHEST
-
-    def dot(a, b):
-        return jax.lax.dot_general(a, b, dims, precision=hi,
-                                   preferred_element_type=a.dtype)
-
     for i in range(C):
-        tr = tr_ref[i]        # (rows, W1)
-        ti = ti_ref[i]
-        mr = dot(tr, ac) - dot(ti, as_)     # (rows, 128)
-        mi = dot(tr, as_) + dot(ti, ac)
+        mr = mall_r[i * R:(i + 1) * R]
+        mi = mall_i[i * R:(i + 1) * R]
         absq = mr * mr + mi * mi
-        t = absq > ba
-        ba = jnp.where(t, absq, ba)
-        br = jnp.where(t, mr, br)
-        bi = jnp.where(t, mi, bi)
-        bx = jnp.where(t, base + i, bx)
+        sel = absq > ba
+        ba = jnp.where(sel, absq, ba)
+        br = jnp.where(sel, mr, br)
+        bi = jnp.where(sel, mi, bi)
+        bx = jnp.where(sel, base + i, bx)
     oa_ref[:] = ba
     or_ref[:] = br
     oi_ref[:] = bi
     ox_ref[:] = bx
 
 
-@partial(jax.jit, static_argnames=("rows", "interpret"))
-def fused_colmm_select(Tr, Ti, A1c, A1s, base_idx,
-                       best_absq, best_r, best_i, best_idx,
-                       rows=256, interpret=False):
-    """Update carry planes with a chunk of candidates given their
-    first-stage partials.
+@partial(jax.jit,
+         static_argnames=("n", "m", "rows", "cols", "precision",
+                          "interpret"))
+def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
+                           base_idx, best_absq, best_r, best_i,
+                           best_idx, *, n, m, rows=None, cols=None,
+                           precision=jax.lax.Precision.HIGHEST,
+                           interpret=False):
+    """Run one chunk of C candidates through the fully-fused sweep,
+    updating the four carry planes in place (donated/aliased).
 
-    Tr, Ti : (C, N, W1) real/imag first-stage DFT partials.
-    A1c, A1s : (M, W1) cos/sin inverse-DFT basis along the second axis.
-    base_idx : int32 scalar — candidate index of Tr[0].
-    best_* : (N, M) carry planes, donated (aliased to the outputs).
+    Sr, Si : (W0, W1) spectrum window, pre-scaled by 1/(n*m).
+    gx, gy : (C, W0), (C, W1) per-candidate Gaussian bandpass factors.
+    A0c/A0s : (n, W0) row inverse-DFT basis.
+    B1r/B1i : (m, 2*W1) pre-concatenated column basis, [A1c | -A1s]
+        and [A1s | A1c].
+    base_idx : int32 scalar — candidate index of gx[0].
     """
-    C, n, W1 = Tr.shape
-    m = A1c.shape[0]
-    grid = (n // rows, m // 128)
+    C = gx.shape[0]
+    W0, W1 = Sr.shape
+    rows = rows or max(b for b in (8, 64, 128, _ROWS) if n % b == 0)
+    cols = cols or max(b for b in (128, _COLS) if m % b == 0)
+    grid = (n // rows, m // cols)
 
-    def t_spec():
-        return pl.BlockSpec((C, rows, W1), lambda r, c: (0, r, 0),
-                            memory_space=pltpu.VMEM)
-
-    def a_spec():
-        return pl.BlockSpec((128, W1), lambda r, c: (c, 0),
+    def const(shape):
+        return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def plane():
-        return pl.BlockSpec((rows, 128), lambda r, c: (r, c),
+        return pl.BlockSpec((rows, cols), lambda r, c: (r, c),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _kernel,
+        partial(_kernel, precision=precision),
         grid=grid,
-        in_specs=[t_spec(), t_spec(), a_spec(), a_spec(),
+        in_specs=[const((W0, W1)), const((W0, W1)),
+                  const((C, W0)), const((C, W1)),
+                  pl.BlockSpec((rows, W0), lambda r, c: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows, W0), lambda r, c: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cols, 2 * W1), lambda r, c: (c, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cols, 2 * W1), lambda r, c: (c, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   plane(), plane(), plane(), plane()],
         out_specs=(plane(), plane(), plane(), plane()),
@@ -104,8 +181,38 @@ def fused_colmm_select(Tr, Ti, A1c, A1s, base_idx,
                    jax.ShapeDtypeStruct((n, m), best_r.dtype),
                    jax.ShapeDtypeStruct((n, m), best_i.dtype),
                    jax.ShapeDtypeStruct((n, m), best_idx.dtype)),
-        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+        scratch_shapes=[pltpu.VMEM((C * rows, 2 * W1), jnp.float32)],
+        # the candidate partials live in VMEM scratch for the whole
+        # row block — budget beyond the 16MB default (v5e has 128MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Tr, Ti, A1c, A1s,
+    )(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
       jnp.asarray([base_idx], jnp.int32).reshape(1),
       best_absq, best_r, best_i, best_idx)
+
+
+def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
+                     precision=jax.lax.Precision.HIGHEST,
+                     max_chunk=48, interpret=False):
+    """Whole-sweep driver: splits the P candidates into VMEM-sized
+    chunks (unrolled Python loop, one pallas_call each — usually one)
+    and returns (best_absq, best_r, best_i, best_idx)."""
+    P = gx.shape[0]
+    n = A0c.shape[0]
+    m = A1c.shape[0]
+    rdt = Sr.dtype
+    B1r = jnp.concatenate([A1c, -A1s], axis=1)   # (m, 2*W1)
+    B1i = jnp.concatenate([A1s, A1c], axis=1)
+    best_absq = jnp.zeros((n, m), rdt)
+    best_r = jnp.zeros((n, m), rdt)
+    best_i = jnp.zeros((n, m), rdt)
+    best_idx = jnp.zeros((n, m), jnp.int32)
+    for s in range(0, P, max_chunk):
+        e = min(s + max_chunk, P)
+        best_absq, best_r, best_i, best_idx = fused_zoom_sweep_chunk(
+            Sr, Si, gx[s:e], gy[s:e], A0c, A0s, B1r, B1i, s,
+            best_absq, best_r, best_i, best_idx, n=n, m=m,
+            precision=precision, interpret=interpret)
+    return best_absq, best_r, best_i, best_idx

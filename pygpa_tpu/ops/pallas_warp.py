@@ -33,13 +33,16 @@ x-fraction, and keeps the result where the pixel's row offset equals
 d. Everything is elementwise or single-vreg gathers — no reshapes,
 flips, or cross-vreg ops.
 
-Validity domain (documented, checked by the caller's accuracy tests):
-within any (8,128) output tile the sample coordinates may vary by at
-most 56 rows and 127 columns beyond the tile's own extent (worst-case
-block alignment; typically ~1.5x more). That is |grad u| <~ 0.4 for
-displacement-field warps — GPA fields vary on the moire scale with
-|grad u| <~ 0.1, far inside the bound. Out-of-range offsets are
-clamped (localized error, never OOB).
+Validity domain: within any (8,128) output tile the sample
+coordinates may vary by at most 56 rows and 127 columns beyond the
+tile's own extent (worst-case block alignment; typically ~1.5x more).
+That is |grad u| <~ 0.4 for displacement-field warps — GPA fields vary
+on the moire scale with |grad u| <~ 0.1, far inside the bound. The
+bound is GUARDED at runtime: _warp_core detects any tile whose taps
+fall outside its 3x3 window and lax.cond-switches the whole call to a
+dense XLA-gather fallback with identical tap/weight algebra, so
+discontinuous coordinate fields (e.g. sawtooth cell-expansion coords)
+are exact — merely slower.
 
 Boundary modes replicate jax.scipy.ndimage.map_coordinates order=1:
 'nearest' clamps the sample position; 'constant' pads the image with
@@ -217,6 +220,31 @@ def _warp_cubic_kernel(pk_ref,
     out_ref[:] = acc_ref[:]
 
 
+def _warp_xla(image, iy0, ix0, fy, fx, taps):
+    """Dense XLA-gather fallback with the exact tap/weight algebra of
+    the Pallas kernels — used when a tile's coordinate span exceeds the
+    kernel's 3x3 window (discontinuous fields)."""
+    m = image.shape[1]
+    flat = image.ravel()
+    if taps == 2:
+        r0 = flat[iy0 * m + ix0]
+        r1 = flat[iy0 * m + ix0 + 1]
+        r2 = flat[(iy0 + 1) * m + ix0]
+        r3 = flat[(iy0 + 1) * m + ix0 + 1]
+        one = jnp.ones((), fy.dtype)
+        return ((one - fy) * ((one - fx) * r0 + fx * r1)
+                + fy * ((one - fx) * r2 + fx * r3))
+    wy = _cr_weights(fy)
+    wx = _cr_weights(fx)
+    out = jnp.zeros(fy.shape, fy.dtype)
+    for a in range(4):
+        row = jnp.zeros(fy.shape, fy.dtype)
+        for b in range(4):
+            row = row + wx[b] * flat[(iy0 + a) * m + ix0 + b]
+        out = out + wy[a] * row
+    return out
+
+
 @partial(jax.jit, static_argnames=("interpret", "taps"))
 def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
     """Separable-kernel sample of `image` at integer base taps
@@ -240,12 +268,19 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
     min_ix = ix0.reshape(nr, _TR, nc, _TC).min(axis=(1, 3))
     ox = jnp.clip(min_ix // _WC, 0, nbc - _NC)
 
-    # Per-pixel window-relative offsets (clamped to the window — only
-    # wrong if the field varies faster than the documented bounds).
+    # Per-pixel window-relative offsets. Clamping would silently
+    # corrupt samples whenever a tile's taps span more than its 3x3
+    # window (sawtooth coords at unit-cell seams, arbitrary caller
+    # fields) — detect that exactly and lax.cond to the dense XLA
+    # fallback below, so out-of-domain inputs are slow, never wrong.
     oy_full = jnp.repeat(jnp.repeat(oy, _TR, 0), _TC, 1)
     ox_full = jnp.repeat(jnp.repeat(ox, _TR, 0), _TC, 1)
-    er = jnp.clip(iy0 - oy_full * _WR, 0, _NB * _WR - taps)
-    ec = jnp.clip(ix0 - ox_full * _WC, 0, _NC * _WC - taps)
+    er_raw = iy0 - oy_full * _WR
+    ec_raw = ix0 - ox_full * _WC
+    in_domain = jnp.all((er_raw >= 0) & (er_raw <= _NB * _WR - taps)
+                        & (ec_raw >= 0) & (ec_raw <= _NC * _WC - taps))
+    er = jnp.clip(er_raw, 0, _NB * _WR - taps)
+    ec = jnp.clip(ec_raw, 0, _NC * _WC - taps)
 
     # Per-tile d_pix range for the kernels' runtime iteration skip.
     d_pix = er - i_loc
@@ -280,12 +315,19 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
         scratch_shapes=[pltpu.VMEM((_TR, _TC), dtype)] + scratch,
     )
     kernel = _warp_kernel if taps == 2 else _warp_cubic_kernel
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ch, cw), image.dtype),
-        interpret=interpret,
-    )(pk, *([image] * (_NB * _NC)), er, ec, fy, fx)
+
+    def pallas_branch(image, iy0, ix0, fy, fx):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ch, cw), image.dtype),
+            interpret=interpret,
+        )(pk, *([image] * (_NB * _NC)), er, ec, fy, fx)
+
+    return jax.lax.cond(
+        in_domain, pallas_branch,
+        partial(_warp_xla, taps=taps),
+        image, iy0, ix0, fy, fx)
 
 
 def _pad_to(x, rows, cols, edge=False):

@@ -157,10 +157,13 @@ def _wfr_sweep_sequential(spectrum, wlist, sigma, with_grad, dk):
     return best_absq, best_lockin, best_w, best_idx
 
 
-# Matmul precision of the zoom sweep's DFT contractions. HIGHEST
-# (~float32-exact) by default; HIGH (bf16x3) is ~2x faster on the MXU
-# at ~1e-6 relative phase error — switch module-wide for throughput.
-_ZOOM_PRECISION = jax.lax.Precision.HIGHEST
+# Matmul precision of the zoom sweep's DFT contractions. HIGH =
+# bf16x3: ~1e-7 relative operand error, measured on-chip at 4e-5
+# amplitude error and ~1e-6 winner flips vs the HIGHEST sweep, for
+# 2-3x MXU throughput (the sweep is compute-bound). Gated by the
+# pipeline-tolerance tests and tests_tpu/test_tpu_hardware.py; set to
+# HIGHEST for bit-level reproduction of the float32-exact path.
+_ZOOM_PRECISION = jax.lax.Precision.HIGH
 
 
 def _zoom_window(n, center_bin, half_need):
@@ -209,21 +212,10 @@ def _zoom_basis(n, idx, dtype):
     return jnp.cos(ang), jnp.sin(ang)
 
 
-# Fused Pallas chunk-selection (ops.pallas_select). Measured bit-exact
-# against the where-loop on TPU but performance-neutral (the loop's
-# carry traffic was already fused well by XLA), and the composition
-# inside the full pipeline hit a Mosaic compile fault — off by default,
-# superseded by the matmul-fused kernel below.
-_PALLAS_SELECT = False
-
-
-def _use_pallas_select():
-    return _PALLAS_SELECT and jax.default_backend() == "tpu"
-
-
-# Fused second-matmul + selection (ops.pallas_sweep): the (C, N, M)
-# candidate lock-in planes never round-trip HBM — the real traffic
-# win the selection-only kernel could not reach.
+# Fully-fused sweep (ops.pallas_sweep): both DFT matmul stages and the
+# selection run in one kernel — neither the (C, N, W1) partials nor the
+# (C, N, M) candidate planes ever touch HBM, and the whole sweep is one
+# launch (no lax.scan).
 _PALLAS_SWEEP = True
 
 
@@ -262,14 +254,25 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
     s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
     hi = _ZOOM_PRECISION
 
+    use_fused = (_use_pallas_sweep() and not with_grad
+                 and rdt == jnp.float32
+                 and n % 128 == 0 and m % 128 == 0)
+    if use_fused:
+        from .pallas_sweep import fused_zoom_sweep
+        wreal = wlist.astype(rdt)         # no sentinel padding needed
+        gx = jnp.exp(-s2 * (f0[None, :] + wreal[:, 0:1]) ** 2)
+        gy = jnp.exp(-s2 * (f1[None, :] + wreal[:, 1:2]) ** 2)
+        best_absq, best_r, best_i, best_idx = fused_zoom_sweep(
+            Sr * scale, Si * scale, gx, gy, A0c, A0s, A1c, A1s,
+            precision=hi)
+        return (best_absq, jax.lax.complex(best_r, best_i), best_idx,
+                jnp.zeros((0,), rdt))
+
     def mm(a, b):
         return jnp.einsum("rw,cwv->crv", a, b, precision=hi)
 
     def mmT(a, b):
         return jnp.einsum("crv,sv->crs", a, b, precision=hi)
-
-    use_fused = (_use_pallas_sweep() and not with_grad
-                 and n % 256 == 0 and m % 128 == 0)
 
     def body(carry, xs):
         best_absq, best_r, best_i, best_idx, best_grad = carry
@@ -280,13 +283,6 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
         Swi = gx[:, :, None] * Si[None] * gy[:, None, :] * scale
         Tr = mm(A0c, Swr) - mm(A0s, Swi)    # (C, n, W1)
         Ti = mm(A0c, Swi) + mm(A0s, Swr)
-        if use_fused:
-            from .pallas_sweep import fused_colmm_select
-            best_absq, best_r, best_i, best_idx = fused_colmm_select(
-                Tr, Ti, A1c, A1s, base_idx,
-                best_absq, best_r, best_i, best_idx)
-            return (best_absq, best_r, best_i, best_idx,
-                    best_grad), None
         Mr = mmT(Tr, A1c) - mmT(Ti, A1s)    # (C, n, m)
         Mi = mmT(Tr, A1s) + mmT(Ti, A1c)
         absq = Mr * Mr + Mi * Mi

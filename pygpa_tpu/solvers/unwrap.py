@@ -19,8 +19,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+import jax.lax
+
 from ..config import DEFAULTS
-from ..core.fourier import dct2n, idct2n
+from ..core.fourier import dct2n, idct2n, mxu_fft_precision
 from ..core.mathtools import wrap_to_pi
 
 
@@ -57,10 +59,23 @@ def _apply_q(p, WWx, WWy):
     return WWdx2 + WWdy2
 
 
-@partial(jax.jit, static_argnames=("kmax",))
-def _cg_unwrap(rk0, WWx, WWy, kmax):
+@partial(jax.jit, static_argnames=("kmax", "precision"))
+def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None):
     """PCG loop shared by phase_unwrap and phase_unwrap_prediff
-    (phase_unwrap.py:183-207,326-349)."""
+    (phase_unwrap.py:183-207,326-349). `precision` scopes the MXU
+    DCT matmul precision of the preconditioner (the CG outer products
+    and stencils stay exact float ops); the preconditioner does not
+    have to be exact for CG to converge, so the multigrid production
+    path runs it at HIGH (bf16x3, ~1e-7) for 2x MXU throughput."""
+    if precision is None:
+        ctx = mxu_fft_precision(jax.lax.Precision.HIGHEST)
+    else:
+        ctx = mxu_fft_precision(precision)
+    with ctx:
+        return _cg_unwrap_body(rk0, WWx, WWy, kmax)
+
+
+def _cg_unwrap_body(rk0, WWx, WWy, kmax):
     dt = rk0.dtype
     scale = _poisson_scale(rk0.shape[-2:], dt)
     # the reference's 1e-9 relative residual is unreachable in float32;
@@ -153,7 +168,8 @@ def phase_unwrap_prediff(dx, dy, weight=None,
 
 
 def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
-                            refine_iters=3):
+                            refine_iters=3,
+                            precision=jax.lax.Precision.HIGH):
     """Multigrid-accelerated gradient integration: solve the weighted
     Poisson problem on a `coarse`-x downsampled grid (GPA displacement
     gradients are band-limited by the sigma-wide lock-in window),
@@ -182,7 +198,9 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
     wc = block_mean(weight, nc, mc) if weight is not None else None
     # no re-wrapping: coarse differences can legitimately exceed pi
     rkc, WWxc, WWyc = _residual(dxc, dyc, wc)
-    phi_c, _ = _cg_unwrap(rkc, WWxc, WWyc, int(kmax))
+    # the DCT preconditioner need not be exact for CG (see _cg_unwrap);
+    # HIGH halves the MXU cost of the transform-bound solve
+    phi_c, _ = _cg_unwrap(rkc, WWxc, WWyc, int(kmax), precision)
     phi0 = jax.image.resize(phi_c, phi_c.shape[:-2] + (n, m),
                             method="linear")
     # residual polish at full resolution (residuals are small and
@@ -191,7 +209,7 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
     rdy = dy - jnp.diff(phi0, axis=-2)
     if refine_iters > 0:
         rk, WWx, WWy = _residual(rdx, rdy, weight)
-        dphi, _ = _cg_unwrap(rk, WWx, WWy, int(refine_iters))
+        dphi, _ = _cg_unwrap(rk, WWx, WWy, int(refine_iters), precision)
         phi0 = phi0 + dphi
     return phi0
 

@@ -136,7 +136,14 @@ def unit_cell_average(image, ks, u=None, z=1, return_weights=False,
     ks_d = jnp.asarray(ks)
 
     def run(image, u=None):
+        from ..ops import pallas_drizzle
         image = jnp.asarray(image)
+        if (jax.default_backend() == "tpu"
+                and pallas_drizzle.supported(rsize)):
+            # scatter-free MXU drizzle (cell resident in VMEM)
+            res, wsum = pallas_drizzle.drizzle(image, ks, rmin, rsize,
+                                               z, u=u)
+            return res / wsum, wsum
         uu = (jnp.zeros((2,) + image.shape, image.dtype) if u is None
               else jnp.asarray(u, image.dtype))
         return _drizzle(image, uu, ks_d, rmin, rsize, int(z))
@@ -154,10 +161,24 @@ def expand_unitcell(unit_cell_image, ks, shape, z=1, z2=1, u=0,
     """Re-expand an averaged unit cell to a full image
     (unit_cell_averaging.py:236-249): inverse-map every output pixel
     into the cell and resample (cubic by default, like the reference's
-    ndi.map_coordinates)."""
+    ndi.map_coordinates).
+
+    On TPU this routes through the dedicated periodic-expansion kernel
+    (ops/pallas_expand.py): cell resident in VMEM, coordinates computed
+    in-kernel from the k-vectors, interpolation as dense hat-function
+    matmuls — no gathers and no coordinate arrays, so the sawtooth
+    (mod-1) coordinate field costs nothing."""
     from ..core import interp
+    from ..ops import pallas_expand
     cell = jnp.nan_to_num(jnp.asarray(unit_cell_image))
     dt = cell.dtype
+    if (jax.default_backend() == "tpu"
+            and pallas_expand.supported(cell.shape, tuple(shape), order)
+            and not isinstance(ks, jax.core.Tracer)):
+        rmin, _ = calc_ucell_parameters(np.asarray(ks), z)
+        uu = None if (isinstance(u, (int, float)) and u == 0) else u
+        return pallas_expand.expand_cell(cell, ks, rmin, z, z2, uu,
+                                         tuple(shape), order=order)
     rr0, rr1 = jnp.mgrid[: shape[0], : shape[1]]
     rr0 = rr0.astype(dt) / z2
     rr1 = rr1.astype(dt) / z2

@@ -100,51 +100,6 @@ def test_wfr4_continuity(small_lattice):
     assert np.asarray(g["w"]).shape == (2,) + img.shape
 
 
-def test_pallas_select_matches_loop(small_lattice):
-    """The Pallas chunk-selection kernel (experimental) is bit-exact
-    against the where-loop tournament (interpret mode on CPU)."""
-    import pygpa_tpu.ops.wfr as W
-    img, ks = small_lattice
-    k = ks[0]
-    kw = np.linalg.norm(ks, axis=1).mean() / 2.5
-    wlist = _grid(k, kw, kw / 3)
-    old = W._PALLAS_SELECT
-    try:
-        W._PALLAS_SELECT = True
-        W._wfr_sweep_zoom.clear_cache()
-        # force the "tpu" gate off: call chunk_select directly instead
-        from pygpa_tpu.ops.pallas_select import chunk_select
-        rng = np.random.default_rng(0)
-        C, n, m = 4, 64, 128
-        Mr = jnp.asarray(rng.normal(size=(C, n, m)))
-        Mi = jnp.asarray(rng.normal(size=(C, n, m)))
-        ba = jnp.asarray(rng.uniform(0, 2, size=(n, m)))
-        br = jnp.zeros((n, m)); bi = jnp.zeros((n, m))
-        bx = jnp.zeros((n, m), jnp.int32)
-        oa, orr, oi, ox = chunk_select(Mr, Mi, 7, ba, br, bi, bx,
-                                       rows=32)
-        # reference loop; absq through jit so XLA's fma rounding matches
-        # the interpret-mode kernel bit-for-bit
-        import jax as _jax
-        _absq = _jax.jit(lambda a, b: a * a + b * b)
-        ra, rr, ri, rx = np.array(ba), np.array(br), np.array(bi), \
-            np.array(bx)
-        for i in range(C):
-            absq = np.array(_absq(Mr[i], Mi[i]))
-            t = absq > ra
-            ra = np.where(t, absq, ra)
-            rr = np.where(t, np.array(Mr[i]), rr)
-            ri = np.where(t, np.array(Mi[i]), ri)
-            rx = np.where(t, 7 + i, rx)
-        assert np.array_equal(np.array(oa), ra)
-        assert np.array_equal(np.array(orr), rr)
-        assert np.array_equal(np.array(oi), ri)
-        assert np.array_equal(np.array(ox), rx)
-    finally:
-        W._PALLAS_SELECT = old
-        W._wfr_sweep_zoom.clear_cache()
-
-
 def _grid(k, kw, kstep):
     wxs = np.arange(k[0] - kw, k[0] + kw, kstep)
     wys = np.arange(k[1] - kw, k[1] + kw, kstep)
@@ -152,38 +107,45 @@ def _grid(k, kw, kstep):
     return np.stack([wx.ravel(), wy.ravel()], -1)
 
 
-def test_fused_colmm_select_matches_einsum():
-    """The fused second-matmul + tournament kernel (ops.pallas_sweep,
-    the TPU zoom-sweep hot path) matches the einsum + where-loop
-    formulation (interpret mode on CPU)."""
-    from pygpa_tpu.ops.pallas_sweep import fused_colmm_select
+def test_fused_zoom_sweep_matches_einsum():
+    """The fully-fused zoom-sweep kernel (ops.pallas_sweep: stage-1 +
+    stage-2 DFT matmuls + tournament) matches the einsum + where-loop
+    formulation (interpret mode on CPU), including the multi-chunk
+    carry path."""
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
     rng = np.random.default_rng(0)
-    C, n, W1, m = 4, 256, 64, 384
-    Tr = jnp.asarray(rng.normal(size=(C, n, W1)))
-    Ti = jnp.asarray(rng.normal(size=(C, n, W1)))
-    A1c = jnp.asarray(rng.normal(size=(m, W1)))
-    A1s = jnp.asarray(rng.normal(size=(m, W1)))
-    ba = jnp.asarray(rng.uniform(0, 50000, size=(n, m)))
-    br = jnp.zeros((n, m)); bi = jnp.zeros((n, m))
-    bx = jnp.zeros((n, m), jnp.int32)
-    oa, orr, oi, ox = fused_colmm_select(Tr, Ti, A1c, A1s, 11,
-                                         ba, br, bi, bx, interpret=True)
-    Mr = np.einsum("crv,sv->crs", np.array(Tr), np.array(A1c)) - \
-        np.einsum("crv,sv->crs", np.array(Ti), np.array(A1s))
-    Mi = np.einsum("crv,sv->crs", np.array(Tr), np.array(A1s)) + \
-        np.einsum("crv,sv->crs", np.array(Ti), np.array(A1c))
-    ra, rr, ri, rx = np.array(ba), np.array(br), np.array(bi), \
-        np.array(bx)
-    for i in range(C):
-        absq = Mr[i] ** 2 + Mi[i] ** 2
+    P, W0, W1, n, m = 5, 64, 64, 256, 384
+    Sr = jnp.asarray(rng.normal(size=(W0, W1)), jnp.float32)
+    Si = jnp.asarray(rng.normal(size=(W0, W1)), jnp.float32)
+    gx = jnp.asarray(rng.uniform(0, 1, size=(P, W0)), jnp.float32)
+    gy = jnp.asarray(rng.uniform(0, 1, size=(P, W1)), jnp.float32)
+    A0c = jnp.asarray(rng.normal(size=(n, W0)), jnp.float32)
+    A0s = jnp.asarray(rng.normal(size=(n, W0)), jnp.float32)
+    A1c = jnp.asarray(rng.normal(size=(m, W1)), jnp.float32)
+    A1s = jnp.asarray(rng.normal(size=(m, W1)), jnp.float32)
+    oa, orr, oi, ox = fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s,
+                                       A1c, A1s, max_chunk=3,
+                                       interpret=True)
+    ra = np.zeros((n, m), np.float32)
+    rr = np.zeros((n, m), np.float32)
+    ri = np.zeros((n, m), np.float32)
+    rx = np.zeros((n, m), np.int32)
+    for i in range(P):
+        Swr = np.array(gx[i])[:, None] * np.array(Sr) * np.array(gy[i])
+        Swi = np.array(gx[i])[:, None] * np.array(Si) * np.array(gy[i])
+        Tr = np.array(A0c) @ Swr - np.array(A0s) @ Swi
+        Ti = np.array(A0c) @ Swi + np.array(A0s) @ Swr
+        Mr = Tr @ np.array(A1c).T - Ti @ np.array(A1s).T
+        Mi = Tr @ np.array(A1s).T + Ti @ np.array(A1c).T
+        absq = Mr ** 2 + Mi ** 2
         t = absq > ra
         ra = np.where(t, absq, ra)
-        rr = np.where(t, Mr[i], rr)
-        ri = np.where(t, Mi[i], ri)
-        rx = np.where(t, 11 + i, rx)
-    assert np.allclose(np.array(oa), ra, rtol=1e-10)
-    assert np.allclose(np.array(orr), rr, atol=1e-10)
-    assert np.allclose(np.array(oi), ri, atol=1e-10)
+        rr = np.where(t, Mr, rr)
+        ri = np.where(t, Mi, ri)
+        rx = np.where(t, i, rx)
+    assert np.allclose(np.array(oa), ra, rtol=1e-4, atol=1e-2)
+    assert np.allclose(np.array(orr), rr, atol=1e-3)
+    assert np.allclose(np.array(oi), ri, atol=1e-3)
     # index ties can only flip where absq values are within rounding
     diff = np.array(ox) != rx
     assert diff.mean() < 1e-3
