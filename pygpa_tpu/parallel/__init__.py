@@ -9,10 +9,15 @@ property_extract.py:863-883). The TPU-native equivalents:
    axis over a jax.sharding.Mesh (ICI), one jit'd program;
  - the WFR candidate sweep: shard the k-candidate grid over devices,
    combine with an argmax tree of psum/pmax collectives (O(1) memory);
- - 8k^2+ single images: XLA's GSPMD sharded FFT via sharding
-   constraints.
+ - 8k^2+ single images: row-sharded end to end — pencil-decomposed
+   distributed FFT (all_to_all over ICI) and a spatially-sharded WFR
+   sweep where each device computes only its own row block
+   (parallel/fft.py).
 """
 from .mesh import make_mesh, batch_sharding  # noqa: F401
 from .sharded import (  # noqa: F401
     extract_displacement_field_batch, wfr_sweep_sharded,
+)
+from .fft import (  # noqa: F401
+    fft2_sharded, ifft2_sharded, wfr_sweep_spatial,
 )

@@ -169,49 +169,69 @@ def phase_unwrap_prediff(dx, dy, weight=None,
 
 def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                             refine_iters=3,
-                            precision=jax.lax.Precision.HIGH):
+                            precision=jax.lax.Precision.HIGH,
+                            schedule=None):
     """Multigrid-accelerated gradient integration: solve the weighted
-    Poisson problem on a `coarse`-x downsampled grid (GPA displacement
-    gradients are band-limited by the sigma-wide lock-in window),
-    upsample the solution gather-free, and polish with `refine_iters`
-    full-resolution CG iterations on the residual gradients.
+    Poisson problem on a coarse grid (GPA displacement gradients are
+    band-limited by the sigma-wide lock-in window), then walk a
+    V-cycle of progressively finer levels, each polishing the
+    upsampled solution with a few CG iterations on the residual
+    gradients. Full-resolution DCT rounds — the pipeline's single
+    largest cost at 4096^2 — are reduced to the final level's iters.
 
-    Opt-in production path (the exact reference algorithm is
-    phase_unwrap_prediff); end-to-end accuracy is gated by the
-    reference displacement tolerances in tests/test_pipeline.py.
+    schedule : ((factor, iters), ...) coarsest -> finest; the default
+    is ((coarse, kmax), (coarse//2, 2), (1, 1)) for coarse >= 4 and
+    ((coarse, kmax), (1, refine_iters)) otherwise. The exact reference
+    algorithm remains phase_unwrap_prediff; end-to-end accuracy of
+    this path is gated by the reference displacement tolerances in
+    tests/test_pipeline.py (test_factory_multigrid_accuracy).
     """
     dx = wrap_to_pi(jnp.asarray(dx))
     dy = wrap_to_pi(jnp.asarray(dy))
     n = dx.shape[-2]
     m = dy.shape[-1]
-    c = int(coarse)
-    nc, mc = n // c, m // c
+    if schedule is None:
+        c = int(coarse)
+        if c >= 4:
+            schedule = ((c, int(kmax)), (c // 2, 2), (1, 1))
+        else:
+            schedule = ((c, int(kmax)), (1, int(refine_iters)))
 
-    def block_mean(a, rows, cols):
+    def block_mean(a, rows, cols, c):
         a = a[..., : rows * c, : cols * c]
         return a.reshape(a.shape[:-2] + (rows, c, cols, c)).mean(
             axis=(-3, -1))
 
-    # coarse differences = c * block-averaged fine differences
-    dxc = block_mean(dx[..., :, : (mc - 1) * c], nc, mc - 1) * c
-    dyc = block_mean(dy[..., : (nc - 1) * c, :], nc - 1, mc) * c
-    wc = block_mean(weight, nc, mc) if weight is not None else None
-    # no re-wrapping: coarse differences can legitimately exceed pi
-    rkc, WWxc, WWyc = _residual(dxc, dyc, wc)
-    # the DCT preconditioner need not be exact for CG (see _cg_unwrap);
-    # HIGH halves the MXU cost of the transform-bound solve
-    phi_c, _ = _cg_unwrap(rkc, WWxc, WWyc, int(kmax), precision)
-    phi0 = jax.image.resize(phi_c, phi_c.shape[:-2] + (n, m),
-                            method="linear")
-    # residual polish at full resolution (residuals are small and
-    # unwrapped by construction)
-    rdx = dx - jnp.diff(phi0, axis=-1)
-    rdy = dy - jnp.diff(phi0, axis=-2)
-    if refine_iters > 0:
-        rk, WWx, WWy = _residual(rdx, rdy, weight)
-        dphi, _ = _cg_unwrap(rk, WWx, WWy, int(refine_iters), precision)
-        phi0 = phi0 + dphi
-    return phi0
+    def level_data(c):
+        if c == 1:
+            return dx, dy, weight
+        nc, mc = n // c, m // c
+        # coarse differences = c * block-averaged fine differences;
+        # no re-wrapping: they can legitimately exceed pi
+        dxc = block_mean(dx[..., :, : (mc - 1) * c], nc, mc - 1, c) * c
+        dyc = block_mean(dy[..., : (nc - 1) * c, :], nc - 1, mc, c) * c
+        wc = block_mean(weight, nc, mc, c) if weight is not None \
+            else None
+        return dxc, dyc, wc
+
+    phi = None
+    for c, iters in schedule:
+        dxc, dyc, wc = level_data(int(c))
+        nc, mc = n // int(c), m // int(c)
+        if phi is None:
+            rk, WWx, WWy = _residual(dxc, dyc, wc)
+            phi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision)
+            continue
+        phi = jax.image.resize(phi, phi.shape[:-2] + (nc, mc),
+                               method="linear")
+        # residual gradients are small and unwrapped by construction
+        rdx = dxc - jnp.diff(phi, axis=-1)
+        rdy = dyc - jnp.diff(phi, axis=-2)
+        if iters > 0:
+            rk, WWx, WWy = _residual(rdx, rdy, wc)
+            dphi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision)
+            phi = phi + dphi
+    return phi
 
 
 # --- pyGPA.phase_unwrap API-parity surface -------------------------------
