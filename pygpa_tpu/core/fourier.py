@@ -272,79 +272,27 @@ def _idct2_axis2_mxu(y):
                      axis=-2).reshape(y.shape[:-2] + (n, y.shape[-1]))
 
 
-# Pallas-fused DCT stage kernels (ops.pallas_dct): one HBM read/write
-# per transform instead of one per radix stage. Correct on TPU
-# (~1.5e-7 vs the XLA path) but currently performance-neutral: Mosaic's
-# 16MB scoped-VMEM budget forces 16-row blocks, wasting the MXU.
-# Off by default until the blocking is reworked; flip to True to use.
-_PALLAS_DCT = False
-
-
 def _pallas_dct_ok(n):
-    if not _PALLAS_DCT:
-        return False
-    from ..ops import pallas_dct
-    return pallas_dct.supported(n)
-
-
-def _dct_axis1_pallas(x):
-    from ..ops import pallas_dct
-    n = x.shape[-1]
-    pairs = x.reshape(x.shape[:-1] + (n // 2, 2))
-    v = jnp.concatenate([pairs[..., 0], pairs[..., 1][..., ::-1]],
-                        axis=-1)
-    return pallas_dct.dct_stages_minor(v)
-
-
-def _idct_axis1_pallas(y):
-    from ..ops import pallas_dct
-    n = y.shape[-1]
-    k = jnp.arange(n, dtype=_real_dtype(y.dtype))
-    ynk = jnp.concatenate([jnp.zeros_like(y[..., :1]), y[..., :0:-1]],
-                          axis=-1)
-    Wc = jnp.cos(jnp.pi * k / (2 * n))
-    Ws = jnp.sin(jnp.pi * k / (2 * n))
-    Fr = (y * Wc + ynk * Ws) * 0.5
-    Fi = (y * Ws - ynk * Wc) * 0.5
-    v = pallas_dct.idct_stages_minor(Fr, Fi)
-    half = n // 2
-    return jnp.stack([v[..., :half], v[..., half:][..., ::-1]],
-                     axis=-1).reshape(y.shape)
-
-
-def _dct_axis2_pallas(x):
-    from ..ops import pallas_dct
-    return pallas_dct.dct_stages_sub(_perm_axis2(x))
-
-
-def _idct_axis2_pallas(y):
-    from ..ops import pallas_dct
-    n = y.shape[-2]
-    k = jnp.arange(n, dtype=_real_dtype(y.dtype))[:, None]
-    ynk = jnp.concatenate([jnp.zeros_like(y[..., :1, :]),
-                           jnp.flip(y[..., 1:, :], axis=-2)], axis=-2)
-    Wc = jnp.cos(jnp.pi * k / (2 * n))
-    Ws = jnp.sin(jnp.pi * k / (2 * n))
-    Fr = (y * Wc + ynk * Ws) * 0.5
-    Fi = (y * Ws - ynk * Wc) * 0.5
-    v = pallas_dct.idct_stages_sub(Fr, Fi)
-    half = n // 2
-    return jnp.stack([v[..., :half, :],
-                      jnp.flip(v[..., half:, :], axis=-2)],
-                     axis=-2).reshape(y.shape[:-2] + (n, y.shape[-1]))
+    """Single-pass Pallas DCT (ops/pallas_dct2): direct two-stage MXU
+    factorization of the DCT matrix, one HBM read + write per
+    transform — no permutation, twiddle or digit-transpose passes."""
+    from ..ops import pallas_dct2
+    return jax.default_backend() == "tpu" and pallas_dct2.supported(n)
 
 
 def dct2n(x):
     """2D DCT-II over the last two axes (== scipy.fft.dctn, norm=None).
-    The axis -2 pass contracts along sublanes on the MXU directly —
-    no full-array transposes (expensive relayouts on TPU); the minor
-    axis' radix stage chain runs as one Pallas kernel where supported
-    (the sublane variant exceeds the 16MB VMEM budget — left on the
-    XLA einsum path)."""
-    if _pallas_dct_ok(x.shape[-1]) and x.shape[-1] % 2 == 0:
-        x = _dct_axis1_pallas(x)
+    On TPU, power-of-two axes from 1024 up run as single-pass Pallas
+    kernels (ops/pallas_dct2) at the scoped MXU precision
+    (_MXU_FFT_PRECISION); other sizes use the Makhoul + radix-matmul
+    XLA path (axis -2 contracts along sublanes — no transposes)."""
+    from ..ops import pallas_dct2
+    if _pallas_dct_ok(x.shape[-1]):
+        x = pallas_dct2.dct_lane(x, precision=_MXU_FFT_PRECISION)
     else:
         x = dct2_1d(x)
+    if _pallas_dct_ok(x.shape[-2]):
+        return pallas_dct2.dct_sub(x, precision=_MXU_FFT_PRECISION)
     if _mxu_fft_supported(x.shape[-2]) and x.shape[-2] % 2 == 0:
         return _dct2_axis2_mxu(x)
     return jnp.swapaxes(dct2_1d(jnp.swapaxes(x, -1, -2)), -1, -2)
@@ -352,12 +300,15 @@ def dct2n(x):
 
 def idct2n(x):
     """2D inverse DCT-II over the last two axes (== scipy.fft.idctn)."""
-    if _mxu_fft_supported(x.shape[-2]) and x.shape[-2] % 2 == 0:
+    from ..ops import pallas_dct2
+    if _pallas_dct_ok(x.shape[-2]):
+        x = pallas_dct2.idct_sub(x, precision=_MXU_FFT_PRECISION)
+    elif _mxu_fft_supported(x.shape[-2]) and x.shape[-2] % 2 == 0:
         x = _idct2_axis2_mxu(x)
     else:
         x = jnp.swapaxes(idct2_1d(jnp.swapaxes(x, -1, -2)), -1, -2)
-    if _pallas_dct_ok(x.shape[-1]) and x.shape[-1] % 2 == 0:
-        return _idct_axis1_pallas(x)
+    if _pallas_dct_ok(x.shape[-1]):
+        return pallas_dct2.idct_lane(x, precision=_MXU_FFT_PRECISION)
     return idct2_1d(x)
 
 

@@ -231,6 +231,9 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             rk, WWx, WWy = _residual(rdx, rdy, wc)
             dphi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision)
             phi = phi + dphi
+    if int(schedule[-1][0]) != 1:
+        phi = jax.image.resize(phi, phi.shape[:-2] + (n, m),
+                               method="linear")
     return phi
 
 

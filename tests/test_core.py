@@ -151,19 +151,23 @@ def test_map_coordinates_cubic_accuracy():
     assert np.abs(cub - true).max() < 0.2 * np.abs(lin - true).max()
 
 
-def test_pallas_dct_stages_match_scipy():
-    """The Pallas DCT kernels (experimental backend, interpret mode on
-    CPU) must match scipy exactly when enabled."""
-    from scipy.fft import dctn as sdctn, idctn as sidctn
-    from pygpa_tpu.core import fourier
+def test_pallas_dct2_matches_scipy():
+    """The single-pass Pallas DCT kernels (ops/pallas_dct2, the TPU
+    production transform of the unwrap solver; interpret mode on CPU)
+    match scipy exactly, both axes, forward and inverse."""
+    from scipy.fft import dct as sdct
+    from pygpa_tpu.ops import pallas_dct2 as D
     rng = np.random.default_rng(11)
-    x = rng.normal(size=(2, 512, 512))
-    old = fourier._PALLAS_DCT
-    fourier._PALLAS_DCT = True
-    try:
-        d = np.asarray(fourier.dct2n(jnp.asarray(x)))
-        assert np.allclose(d, sdctn(x, axes=(-2, -1)), atol=1e-8)
-        r = np.asarray(fourier.idct2n(jnp.asarray(d)))
-        assert np.allclose(r, x, atol=1e-10)
-    finally:
-        fourier._PALLAS_DCT = old
+    for n in (1024, 2048):
+        x = rng.normal(size=(2, n))
+        assert np.allclose(np.asarray(D.dct_lane(jnp.asarray(x))),
+                           sdct(x, type=2, axis=-1), atol=1e-9)
+        y = sdct(x, type=2, axis=-1)
+        assert np.allclose(np.asarray(D.idct_lane(jnp.asarray(y))),
+                           x, atol=1e-11)
+        x2 = rng.normal(size=(n, 136))
+        assert np.allclose(np.asarray(D.dct_sub(jnp.asarray(x2))),
+                           sdct(x2, type=2, axis=0), atol=1e-9)
+        y2 = sdct(x2, type=2, axis=0)
+        assert np.allclose(np.asarray(D.idct_sub(jnp.asarray(y2))),
+                           x2, atol=1e-11)
