@@ -272,12 +272,21 @@ def _idct2_axis2_mxu(y):
                      axis=-2).reshape(y.shape[:-2] + (n, y.shape[-1]))
 
 
+# Single-pass Pallas DCT (ops/pallas_dct2) on/off switch.
+_PALLAS_DCT2 = True
+
+
 def _pallas_dct_ok(n):
     """Single-pass Pallas DCT (ops/pallas_dct2): direct two-stage MXU
     factorization of the DCT matrix, one HBM read + write per
-    transform — no permutation, twiddle or digit-transpose passes."""
+    transform — no permutation, twiddle or digit-transpose passes.
+    Measured in the vmapped CG while_loop on v5e: wins at 4096
+    (27 vs 37 ms/iteration) but loses to the fused XLA chain below
+    (per-launch overhead dominates: 4.9 vs 1.1 ms at 1024), so the
+    production gate is size-dependent."""
     from ..ops import pallas_dct2
-    return jax.default_backend() == "tpu" and pallas_dct2.supported(n)
+    return (_PALLAS_DCT2 and jax.default_backend() == "tpu"
+            and n >= 4096 and pallas_dct2.supported(n))
 
 
 def dct2n(x):

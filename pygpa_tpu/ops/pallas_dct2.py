@@ -70,23 +70,14 @@ def _factors(n, dtype, inverse):
 
 
 def _dots(precision):
-    """einsum-style contraction at the requested effective precision
-    (HIGH = explicit bf16x3; Mosaic lowers only DEFAULT/HIGHEST)."""
+    """einsum-style contraction. HIGH is clamped to HIGHEST here:
+    measured on v5e, the explicit-bf16x3 variant of the sublane
+    kernels sends Mosaic's compiler into a multi-minute blowup (the
+    lane kernels compile fine), and the transform is already
+    HBM-lean at HIGHEST (23 ms per (2, 4096^2) round) — so exactness
+    is free compared to the compile risk."""
     if precision == jax.lax.Precision.HIGH:
-        def split(x):
-            hi = x.astype(jnp.bfloat16)
-            lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
-            return hi, lo
-
-        def ein(expr, a, b):
-            def raw(x, y):
-                return jnp.einsum(expr, x, y,
-                                  precision=jax.lax.Precision.DEFAULT,
-                                  preferred_element_type=jnp.float32)
-            ahi, alo = split(a)
-            bhi, blo = split(b)
-            return raw(ahi, bhi) + raw(ahi, blo) + raw(alo, bhi)
-        return ein
+        precision = jax.lax.Precision.HIGHEST
 
     def ein(expr, a, b):
         return jnp.einsum(expr, a, b, precision=precision,

@@ -75,14 +75,21 @@ _D01 = (((1,), (0,)), ((), ()))   # contract a's last with b's first
 _D11 = (((1,), (1,)), ((), ()))   # contract both last dims
 
 
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             b1r_ref, b1i_ref, base_ref,
             ba_ref, br_ref, bi_ref, bx_ref,
             oa_ref, or_ref, oi_ref, ox_ref,
-            t_ref, *, precision):
+            t_ref, tlo_ref, *, precision):
     C = gx_ref.shape[0]
     R = a0c_ref.shape[0]
     W1 = sr_ref.shape[1]
+    high = precision == jax.lax.Precision.HIGH
     dot = _dot_maker(precision)
 
     @pl.when(pl.program_id(1) == 0)
@@ -96,18 +103,43 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             swr = g * sr
             swi = g * si
             # T_i = (A0c + i A0s) @ (swr + i swi); contraction over W0
-            t_ref[i * R:(i + 1) * R, :W1] = (
-                dot(a0c, swr, _D01) - dot(a0s, swi, _D01))
-            t_ref[i * R:(i + 1) * R, W1:] = (
-                dot(a0c, swi, _D01) + dot(a0s, swr, _D01))
+            tr = dot(a0c, swr, _D01) - dot(a0s, swi, _D01)
+            ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
+            if high:
+                # store bf16 hi/lo once — the per-step second stage
+                # then reads half the bytes and skips re-splitting
+                rhi, rlo = _split_bf16(tr)
+                ihi, ilo = _split_bf16(ti)
+                t_ref[i * R:(i + 1) * R, :W1] = rhi
+                t_ref[i * R:(i + 1) * R, W1:] = ihi
+                tlo_ref[i * R:(i + 1) * R, :W1] = rlo
+                tlo_ref[i * R:(i + 1) * R, W1:] = ilo
+            else:
+                t_ref[i * R:(i + 1) * R, :W1] = tr
+                t_ref[i * R:(i + 1) * R, W1:] = ti
 
     # second stage for ALL candidates in two deep dots:
     #   Re M = Tr @ A1c^T - Ti @ A1s^T = [Tr|Ti] @ [A1c|-A1s]^T
     #   Im M = Tr @ A1s^T + Ti @ A1c^T = [Tr|Ti] @ [A1s| A1c]^T
     # b1r/b1i blocks arrive pre-concatenated as (128, 2*W1).
-    t = t_ref[:]                          # (C*R, 2*W1)
-    mall_r = dot(t, b1r_ref[:], _D11)     # (C*R, 128)
-    mall_i = dot(t, b1i_ref[:], _D11)
+    if high:
+        def raw(a, b):
+            return jax.lax.dot_general(
+                a, b, _D11, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        thi = t_ref[:]                    # (C*R, 2*W1) bf16
+        tlo = tlo_ref[:]
+        b1r_hi, b1r_lo = _split_bf16(b1r_ref[:])
+        b1i_hi, b1i_lo = _split_bf16(b1i_ref[:])
+        mall_r = (raw(thi, b1r_hi) + raw(thi, b1r_lo)
+                  + raw(tlo, b1r_hi))
+        mall_i = (raw(thi, b1i_hi) + raw(thi, b1i_lo)
+                  + raw(tlo, b1i_hi))
+    else:
+        t = t_ref[:]                      # (C*R, 2*W1) f32
+        mall_r = dot(t, b1r_ref[:], _D11)     # (C*R, 128)
+        mall_i = dot(t, b1i_ref[:], _D11)
 
     ba = ba_ref[:]
     br = br_ref[:]
@@ -182,7 +214,13 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                    jax.ShapeDtypeStruct((n, m), best_i.dtype),
                    jax.ShapeDtypeStruct((n, m), best_idx.dtype)),
         input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
-        scratch_shapes=[pltpu.VMEM((C * rows, 2 * W1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((C * rows, 2 * W1),
+                       jnp.bfloat16 if precision ==
+                       jax.lax.Precision.HIGH else jnp.float32),
+            pltpu.VMEM((C * rows, 2 * W1) if precision ==
+                       jax.lax.Precision.HIGH else (8, 128),
+                       jnp.bfloat16)],
         # the candidate partials live in VMEM scratch for the whole
         # row block — budget beyond the 16MB default (v5e has 128MB)
         compiler_params=pltpu.CompilerParams(

@@ -352,9 +352,34 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
             spectrum, wlist, float(sigma), with_grad, float(continuity_dk))
         w_field = best_w
     else:
+        # zoom tri-state: "auto" plans the band-limited matmul sweep
+        # when the candidate list is concrete and the window pays off,
+        # with an explicit warning on the silent-perf-cliff case
+        # (traced wlist under jit -> full-FFT path, same math, much
+        # slower at large sizes); True demands the zoom plan and
+        # raises if it cannot be built; False forces the full-FFT path.
         plan = None
-        if zoom == "auto" and not isinstance(wlist, jax.core.Tracer):
+        if zoom == "auto":
+            if isinstance(wlist, jax.core.Tracer):
+                import warnings
+                warnings.warn(
+                    "wfr_sweep: candidate list is a traced value, so "
+                    "the zoom plan cannot be built; falling back to "
+                    "the full-FFT sweep (identical math, slower at "
+                    "large sizes). Pass a concrete wlist or "
+                    "zoom=False to silence.", stacklevel=2)
+            else:
+                plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+        elif zoom:
+            if isinstance(wlist, jax.core.Tracer):
+                raise ValueError(
+                    "wfr_sweep(zoom=True) requires a concrete wlist")
             plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+            if plan is None:
+                raise ValueError(
+                    "wfr_sweep(zoom=True): the bandpass window spans "
+                    "most of the spectrum; zoom would not be "
+                    "worthwhile (use zoom='auto' or zoom=False)")
         if plan is not None:
             best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_zoom(
                 spectrum, jnp.asarray(wlist), jnp.asarray(plan[0]),
