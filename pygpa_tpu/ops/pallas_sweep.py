@@ -122,6 +122,7 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
     #   Re M = Tr @ A1c^T - Ti @ A1s^T = [Tr|Ti] @ [A1c|-A1s]^T
     #   Im M = Tr @ A1s^T + Ti @ A1c^T = [Tr|Ti] @ [A1s| A1c]^T
     # b1r/b1i blocks arrive pre-concatenated as (128, 2*W1).
+    base = base_ref[0]
     if high:
         def raw(a, b):
             return jax.lax.dot_general(
@@ -132,20 +133,52 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
         tlo = tlo_ref[:]
         b1r_hi, b1r_lo = _split_bf16(b1r_ref[:])
         b1i_hi, b1i_lo = _split_bf16(b1i_ref[:])
-        mall_r = (raw(thi, b1r_hi) + raw(thi, b1r_lo)
-                  + raw(tlo, b1r_hi))
-        mall_i = (raw(thi, b1i_hi) + raw(thi, b1i_lo)
-                  + raw(tlo, b1i_hi))
-    else:
-        t = t_ref[:]                      # (C*R, 2*W1) f32
-        mall_r = dot(t, b1r_ref[:], _D11)     # (C*R, 128)
-        mall_i = dot(t, b1i_ref[:], _D11)
+        # PASS A — winner search at single-pass bf16 (the argmax does
+        # not need exact amplitudes; ties between near-identical
+        # candidates may flip, which the reference's own float64
+        # rounding also permits)
+        mall_r = raw(thi, b1r_hi)
+        mall_i = raw(thi, b1i_hi)
+        ba = ba_ref[:]
+        bx = bx_ref[:]
+        for i in range(C):
+            mr = mall_r[i * R:(i + 1) * R]
+            mi = mall_i[i * R:(i + 1) * R]
+            absq = mr * mr + mi * mi
+            sel = absq > ba
+            ba = jnp.where(sel, absq, ba)
+            bx = jnp.where(sel, base + i, bx)
+        ox_ref[:] = bx
+        # PASS B — exact bf16x3 recompute of ONLY the candidates that
+        # won somewhere in this tile (typically 1-3 of C): 1 + ~3*3/C
+        # effective MXU passes instead of 3.
+        oa_ref[:] = ba_ref[:]
+        or_ref[:] = br_ref[:]
+        oi_ref[:] = bi_ref[:]
+        for i in range(C):
+            sel = bx == base + i
+
+            @pl.when(jnp.any(sel))
+            def _recompute(i=i, sel=sel):
+                sl = slice(i * R, (i + 1) * R)
+                mr = (raw(thi[sl], b1r_hi) + raw(thi[sl], b1r_lo)
+                      + raw(tlo[sl], b1r_hi))
+                mi = (raw(thi[sl], b1i_hi) + raw(thi[sl], b1i_lo)
+                      + raw(tlo[sl], b1i_hi))
+                oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
+                                      oa_ref[:])
+                or_ref[:] = jnp.where(sel, mr, or_ref[:])
+                oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+        return
+
+    t = t_ref[:]                      # (C*R, 2*W1) f32
+    mall_r = dot(t, b1r_ref[:], _D11)     # (C*R, 128)
+    mall_i = dot(t, b1i_ref[:], _D11)
 
     ba = ba_ref[:]
     br = br_ref[:]
     bi = bi_ref[:]
     bx = bx_ref[:]
-    base = base_ref[0]
     for i in range(C):
         mr = mall_r[i * R:(i + 1) * R]
         mi = mall_i[i * R:(i + 1) * R]
