@@ -187,3 +187,28 @@ def test_pipeline_onchip_vs_cpu_reference(tmp_path):
     u = fn(img)
     err = jnp.abs(-u - jnp.asarray(u_true))[:, 50:-50, 50:-50]
     assert float(jnp.max(err).astype(jnp.float32)) < 0.3
+
+
+def test_drizzle_kernel_onchip():
+    """Scatter-free MXU drizzle vs the XLA scatter-add, on chip."""
+    from pygpa_tpu.lattices import generate_ks
+    from pygpa_tpu.ucell.averaging import (_drizzle,
+                                           calc_ucell_parameters)
+    from pygpa_tpu.ops.pallas_drizzle import drizzle
+
+    rng = np.random.default_rng(1)
+    ks2 = np.asarray(generate_ks(0.06, 9.0))[:2]
+    z = 2
+    rmin, rsize = calc_ucell_parameters(ks2, z)
+    rsize = tuple(int(r) for r in rsize)
+    img = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    u = jnp.asarray(
+        (0.8 * rng.normal(size=(2, 256, 256))).astype(np.float32))
+    ref_res, ref_w = _drizzle(img, u, jnp.asarray(ks2, jnp.float32),
+                              tuple(rmin), rsize, z)
+    mine_sum, mine_w = drizzle(img, ks2, rmin, rsize, z, u=u,
+                               interpret=False)
+    mine_res = mine_sum / mine_w
+    ok = (ref_w > 1e-6).astype(jnp.float32)
+    assert _maxabs((mine_w - ref_w) * ok) < 1e-2
+    assert _maxabs((mine_res - ref_res) * ok) < 1e-2
