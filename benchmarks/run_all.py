@@ -116,25 +116,20 @@ def config4():
     import jax
     import jax.numpy as jnp
     from pygpa_tpu.lattices import hexlattice_gen, generate_ks
-    from pygpa_tpu.ucell.averaging import (_drizzle,
-                                           calc_ucell_parameters)
-    from pygpa_tpu.ucell import expand_unitcell
+    from pygpa_tpu.ucell import unit_cell_average, expand_unitcell
     size = 4096
     r_k = 0.02
     img = hexlattice_gen(r_k, 5.0, order=2, size=size, dtype=jnp.float32)
     ks2 = np.asarray(generate_ks(r_k, 5.0))[:2]
-    rmin, rsize = calc_ucell_parameters(ks2, 2)
-    u0 = jnp.zeros((2, size, size), jnp.float32)
+    avg = unit_cell_average(None, ks2, z=2, only_generate_func=True)
 
     @jax.jit
-    def step(img, u0):
-        cell, wsum = _drizzle(img, u0, jnp.asarray(ks2, jnp.float32),
-                              tuple(rmin), tuple(int(r) for r in rsize),
-                              2)
+    def step(img):
+        cell = avg(img)
         rec = expand_unitcell(cell, ks2, (size, size), z=2)
         return rec
 
-    dt = _timeit(step, img, u0)
+    dt = _timeit(step, img)
     return "unit-cell average + reconstruction, 4096^2", \
         size * size / 1e6 / dt
 

@@ -39,6 +39,16 @@ _TR, _TC = 32, 128     # input pixel tile
 _MAXC = 512
 
 
+def _clamp(precision):
+    # the accumulation dots contract the (sublane) pixel axis; Mosaic's
+    # bf16 path for sublane contractions is a compile blowup (same as
+    # pallas_dct2's sub kernels), so HIGH clamps to exact HIGHEST —
+    # ~17 ms total at 4096^2, still ~100x the XLA scatter path
+    if precision == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.HIGHEST
+    return precision
+
+
 def supported(rsize):
     return rsize[0] <= _MAXC and rsize[1] <= _MAXC
 
@@ -50,7 +60,7 @@ def _drizzle_kernel(s_ref, img_ref, u0_ref, u1_ref,
     b00, b01, b10, b11 = s_ref[4], s_ref[5], s_ref[6], s_ref[7]
     rmin0, rmin1 = s_ref[8], s_ref[9]
     z = s_ref[10]
-    dot = _dot_maker(precision)
+    dot = _dot_maker(_clamp(precision))
 
     r = pl.program_id(0)
     c = pl.program_id(1)
@@ -76,13 +86,15 @@ def _drizzle_kernel(s_ref, img_ref, u0_ref, u1_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R0p), 2).astype(dt)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R1p), 2).astype(dt)
-    Hy = jnp.maximum(0.0, 1.0 - jnp.abs(X0[:, :, None] - rows))
-    Hx = jnp.maximum(0.0, 1.0 - jnp.abs(X1[:, :, None] - cols))
+    Hy3 = jnp.maximum(0.0, 1.0 - jnp.abs(X0[:, :, None] - rows))
+    Hx3 = jnp.maximum(0.0, 1.0 - jnp.abs(X1[:, :, None] - cols))
     P = TR * TC
-    Hy = Hy.reshape(P, R0p)
-    Hx = Hx.reshape(P, R1p)
-    valf = val.reshape(P, 1)
-    vwf = vw.reshape(P, 1)
+    # fold value/weight into the 3D hat tensor BEFORE collapsing the
+    # pixel dims: only leading-dim collapses (lane dim intact) lower
+    # in Mosaic — a (P, 1) reshape of the 2D tile does not
+    Hyv = (Hy3 * val[:, :, None]).reshape(P, R0p)
+    Hyw = (Hy3 * vw[:, :, None]).reshape(P, R0p)
+    Hx = Hx3.reshape(P, R1p)
     dims = (((0,), (0,)), ((), ()))        # contract the pixel axis
 
     @pl.when((r == 0) & (c == 0))
@@ -90,8 +102,8 @@ def _drizzle_kernel(s_ref, img_ref, u0_ref, u1_ref,
         res_ref[:] = jnp.zeros((R0p, R1p), dt)
         w_ref[:] = jnp.zeros((R0p, R1p), dt)
 
-    res_ref[:] += dot(Hy * valf, Hx, dims)
-    w_ref[:] += dot(Hy * vwf, Hx, dims)
+    res_ref[:] += dot(Hyv, Hx, dims)
+    w_ref[:] += dot(Hyw, Hx, dims)
 
 
 @partial(jax.jit, static_argnames=("rsize", "precision", "interpret"))
