@@ -65,13 +65,13 @@ def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None):
     (phase_unwrap.py:183-207,326-349). `precision` scopes the MXU
     DCT matmul precision of the preconditioner (the CG outer products
     and stencils stay exact float ops); the preconditioner does not
-    have to be exact for CG to converge, so the multigrid production
-    path runs it at HIGH (bf16x3, ~1e-7) for 2x MXU throughput."""
+    have to be exact for CG to converge — its error only modulates the
+    convergence rate — so the default is HIGH (bf16x3, ~1e-7 operand
+    error) for ~2x MXU throughput of the transform-bound solve. Pass
+    HIGHEST for bit-level reproduction of the float32-exact path."""
     if precision is None:
-        ctx = mxu_fft_precision(jax.lax.Precision.HIGHEST)
-    else:
-        ctx = mxu_fft_precision(precision)
-    with ctx:
+        precision = jax.lax.Precision.HIGH
+    with mxu_fft_precision(precision):
         return _cg_unwrap_body(rk0, WWx, WWy, kmax)
 
 
