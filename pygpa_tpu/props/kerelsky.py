@@ -228,11 +228,23 @@ def Kerelsky_Jac(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
     J = jnp.asarray(JacA0)
     x, c = _fit_jac(jnp.asarray(est), J)
     if c > 1e-20:
-        est2 = est.copy()
-        est2[1] = 90.0
-        x2, c2 = _fit_jac(jnp.asarray(est2), J)
-        if c2 < c:
-            x, c = x2, c2
+        # restart bank: the reference's psi=90 nudge
+        # (property_extract.py:764-767) plus interior-epsilon starts —
+        # the box-projected LM can stick at the epsilon=0 boundary
+        # (where psi is unidentifiable) where scipy's reflective TRF
+        # escapes; starting strictly inside restores that behavior
+        for nudge in ((None, 90.0), (1e-3, None), (1e-3, 45.0),
+                      (1e-3, -45.0), (1e-3, 90.0)):
+            est2 = est.copy()
+            if nudge[0] is not None:
+                est2[2] = nudge[0]
+            if nudge[1] is not None:
+                est2[1] = nudge[1]
+            x2, c2 = _fit_jac(jnp.asarray(est2), J)
+            if c2 < c:
+                x, c = x2, c2
+            if c <= 1e-20:
+                break
     if debug:
         print(x, c)
     params = np.asarray(x, dtype=float)
