@@ -342,6 +342,13 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
     if spectrum is None:
         image = jnp.asarray(image)
         spectrum = jnp.fft.fft2(image)
+    # keep the ORIGINAL operand for concreteness checks: jnp.asarray
+    # inside any jit/vmap trace stages even a numpy constant into a
+    # tracer, which would silently disable the zoom plan (the round-1
+    # silent-perf-cliff); host lists/arrays stay plannable under
+    # transforms this way
+    wlist_in = wlist
+    wlist_concrete = not isinstance(wlist_in, jax.core.Tracer)
     wlist = jnp.asarray(wlist)
     kref = jnp.asarray(kref)
     shape = spectrum.shape
@@ -360,7 +367,7 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
         # raises if it cannot be built; False forces the full-FFT path.
         plan = None
         if zoom == "auto":
-            if isinstance(wlist, jax.core.Tracer):
+            if not wlist_concrete:
                 import warnings
                 warnings.warn(
                     "wfr_sweep: candidate list is a traced value, so "
@@ -369,12 +376,13 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
                     "large sizes). Pass a concrete wlist or "
                     "zoom=False to silence.", stacklevel=2)
             else:
-                plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+                plan = _plan_zoom(shape, np.asarray(wlist_in),
+                                  float(sigma))
         elif zoom:
-            if isinstance(wlist, jax.core.Tracer):
+            if not wlist_concrete:
                 raise ValueError(
                     "wfr_sweep(zoom=True) requires a concrete wlist")
-            plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+            plan = _plan_zoom(shape, np.asarray(wlist_in), float(sigma))
             if plan is None:
                 raise ValueError(
                     "wfr_sweep(zoom=True): the bandpass window spans "
