@@ -23,20 +23,17 @@ Quick start (mirrors pyGPA's main entry points)::
 
 __version__ = "0.1.0"
 
-import jax as _jax
+# NOTE on matmul precision: on TPU, an unannotated matmul runs the MXU
+# at bf16 (~4e-3 relative error) — enough to corrupt k-vector geometry
+# and coordinate transforms by whole pixels at image scale. EVERY
+# contraction in this package therefore passes its precision
+# explicitly (geometry at HIGHEST; the tuned kernels choose their own
+# bf16x3/bf16 modes deliberately); the global
+# jax_default_matmul_precision is intentionally left untouched so
+# importing this library never changes the numerics of the embedding
+# application. tests_tpu/test_tpu_hardware.py pins this on hardware.
 
-# Scientific-correctness default: on TPU, an unannotated matmul runs
-# the MXU at bf16 (~4e-3 relative error) — enough to corrupt k-vector
-# geometry, coordinate transforms, and synthetic-lattice phases by
-# whole pixels at image scale (a 2x2 anisotropy matmul at bf16 shifts
-# the apparent displacement field by |dk|/|k| * r ~ 1 px at r = 256).
-# Every performance-critical contraction in this package passes its
-# precision explicitly (Pallas kernels, zoom-sweep/DCT/resampling
-# einsums), so this default only protects the incidental small
-# matmuls — at no measurable cost.
-_jax.config.update("jax_default_matmul_precision", "highest")
-
-from . import core  # noqa: F401,E402
+from . import core  # noqa: F401
 from . import lattices  # noqa: F401
 from . import solvers  # noqa: F401
 from . import ops  # noqa: F401

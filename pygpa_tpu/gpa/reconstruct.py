@@ -45,7 +45,8 @@ def reconstruct_u_inv(kvecs, b, weights=None, use_only_ks=None):
     assert len(use_only_ks) == 2
     idx = jnp.asarray(use_only_ks)
     Kinv = jnp.linalg.inv(K[idx])
-    us = jnp.einsum("ij,j...->i...", Kinv, b[idx])
+    us = jnp.einsum("ij,j...->i...", Kinv, b[idx],
+                    precision=jax.lax.Precision.HIGHEST)
     return us
 
 

@@ -32,7 +32,10 @@ def generate_ks(r_k, theta, kappa=1.0, psi=0.0, sym=6):
     angles = jnp.deg2rad(jnp.asarray(theta, jnp.result_type(float))) \
         + jnp.arange(sym) * 2 * jnp.pi / sym
     ks = jnp.asarray(r_k) * jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)
-    ks = ks @ anisotropy_matrix(kappa, psi).T
+    # exact matmul: TPU's bf16 default would corrupt k-geometry by
+    # ~4e-3 relative (~1 px of apparent displacement at image scale)
+    ks = jnp.matmul(ks, anisotropy_matrix(kappa, psi).T,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([ks, jnp.zeros((1, 2), ks.dtype)])
 
 

@@ -21,7 +21,13 @@ These play the role latticegen.transformations plays for the reference
 (used at /root/reference/pyGPA/property_extract.py:582-586,647-660,
 692-693; tests tests/test_property_extract.py:7).
 """
+import jax
 import jax.numpy as jnp
+
+
+def _mm(a, b):
+    # exact matmul (TPU default is bf16 — geometry must stay float32)
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 DEFAULT_POISSON = 0.16
 
@@ -37,7 +43,8 @@ def rotation_matrix(angle):
 
 def rotate(vecs, angle):
     """Rotate row-vector(s) CCW by `angle` radians."""
-    return jnp.asarray(vecs) @ rotation_matrix(angle).T
+    return jnp.matmul(jnp.asarray(vecs), rotation_matrix(angle).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def scaling_matrix(kappa, dims=2):
@@ -51,7 +58,7 @@ def anisotropy_matrix(kappa, psi):
     psi in degrees."""
     V = rotation_matrix(jnp.deg2rad(psi))
     D = jnp.diag(jnp.array([1.0 / kappa, 1.0]))
-    return V.T @ D @ V
+    return _mm(_mm(V.T, D), V)
 
 
 def strain_matrix(epsilon, delta=DEFAULT_POISSON, axis=0):
@@ -91,4 +98,5 @@ def kappa_to_epsilon(kappa, delta=DEFAULT_POISSON):
 
 def apply_transformation_matrix(vecs, matrix):
     """Apply a 2x2 transform to row-vector(s): vecs @ matrix.T."""
-    return jnp.asarray(vecs) @ jnp.asarray(matrix).T
+    return jnp.matmul(jnp.asarray(vecs), jnp.asarray(matrix).T,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -328,7 +328,7 @@ def J_2_J_diff(J, theta_iso):
     t = jnp.deg2rad(theta_iso)
     J0 = jnp.array([[jnp.cos(t) - 1, -jnp.sin(t)],
                     [jnp.sin(t), jnp.cos(t) - 1]])
-    return J @ J0
+    return jnp.matmul(J, J0, precision=jax.lax.Precision.HIGHEST)
 
 
 def Jac_2_Jac_diff(Jac, theta_iso):
@@ -341,7 +341,8 @@ def u_moire_2_u_diff(u, theta_iso):
     t = jnp.deg2rad(theta_iso)
     J0 = jnp.array([[jnp.cos(t) - 1, -jnp.sin(t)],
                     [jnp.sin(t), jnp.cos(t) - 1]])
-    return jnp.asarray(u) @ J0
+    return jnp.matmul(jnp.asarray(u), J0,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def Jac_diff_from_phasegradient(kvecs, grads, weights, nmperpixel,

@@ -29,6 +29,12 @@ from .jacobians import twist_matrix, double_strain_decomp
 from ..gpa.kgeometry import calc_diff_from_isotropic
 
 
+def _mm(a, b):
+    # exact matmul (TPU default is bf16; the LM normal equations are
+    # 4x4 — precision here decides convergence depth)
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------- LM core
 
 def _lm_solve(residual_fn, x0, lower, upper, iters=60):
@@ -48,8 +54,8 @@ def _lm_solve(residual_fn, x0, lower, upper, iters=60):
         x, lam, c = carry
         r = residual_fn(x)
         Jm = jac_fn(x)
-        g = Jm.T @ r
-        H = Jm.T @ Jm
+        g = _mm(Jm.T, r)
+        H = _mm(Jm.T, Jm)
         D = jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(x.shape[0], dtype=x.dtype)
         dx = jnp.linalg.solve(H + lam * D, -g)
         xn = jnp.clip(x + dx, lower, upper)
@@ -76,7 +82,7 @@ def moire_amplitudes(theta, psi, epsilon, a_0=DEFAULTS.a_0):
     W = rotation_matrix(jnp.deg2rad(theta))
     V = rotation_matrix(jnp.deg2rad(psi))
     D = strain_matrix(epsilon)
-    ks2 = apply_transformation_matrix(ks1, V.T @ D @ V @ W)
+    ks2 = apply_transformation_matrix(ks1, _mm(_mm(_mm(V.T, D), V), W))
     return jnp.linalg.norm(ks1 - ks2, axis=1)
 
 
@@ -87,7 +93,7 @@ def _moire_diffs_resid(x, lkvecs, nmperpixel):
     W = rotation_matrix(jnp.deg2rad(theta))
     V = rotation_matrix(jnp.deg2rad(psi))
     D = strain_matrix(epsilon)
-    ks2 = apply_transformation_matrix(ks1, V.T @ D @ V @ W)
+    ks2 = apply_transformation_matrix(ks1, _mm(_mm(_mm(V.T, D), V), W))
     return jnp.ravel(lkvecs / nmperpixel - (ks2 - ks1)) * 1000
 
 
@@ -98,7 +104,7 @@ def Jac_fit_diff(x, JacA0):
     W = rotation_matrix(jnp.deg2rad(theta + xi))
     V = rotation_matrix(jnp.deg2rad(psi))
     D = strain_matrix(epsilon)
-    return jnp.ravel(V.T @ D @ V @ W - Wxi - JacA0) * 1000
+    return jnp.ravel(_mm(_mm(_mm(V.T, D), V), W) - Wxi - JacA0) * 1000
 
 
 _LOWER4 = jnp.array([0.0, -jnp.inf, 0.0, -jnp.inf])
@@ -286,7 +292,7 @@ def Kerelsky_J(J, kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
     (X (N, M, 4), refest (4,))."""
     lkvecs, A0 = _jac_a0(kvecs, nmperpixel, a_0, sort)
     J = jnp.asarray(J)
-    JacA0 = jnp.asarray(A0) + jnp.asarray(A0) @ J
+    JacA0 = jnp.asarray(A0) + _mm(jnp.asarray(A0), J)
     est = np.array([0.01, 0.0, 0.0,
                     np.rad2deg(np.arctan2(lkvecs[0, 1],
                                           lkvecs[0, 0])) % 360])
@@ -312,5 +318,5 @@ def moire_props_from_Jac_2_Kerelsky(kvecs, Jac, nmperpixel, a_0=DEFAULTS.a_0,
     dks = calc_diff_from_isotropic(kvecs)
     iso_props = Kerelsky_plus(np.asarray(kvecs + dks), nmperpixel, a_0)
     B0 = twist_matrix(iso_props[0])
-    props = double_strain_decomp(jnp.asarray(Jac) @ B0)
+    props = double_strain_decomp(_mm(jnp.asarray(Jac), B0))
     return props, iso_props

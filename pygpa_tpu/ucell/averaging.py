@@ -22,13 +22,16 @@ import jax.numpy as jnp
 def forward_transform(vecs, ks):
     """Cartesian -> lattice fractional coordinates
     (unit_cell_averaging.py:7-10)."""
-    return jnp.asarray(vecs) @ jnp.asarray(ks).T
+    return jnp.matmul(jnp.asarray(vecs), jnp.asarray(ks).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def backward_transform(vecs, ks):
     """Lattice fractional -> cartesian coordinates
     (unit_cell_averaging.py:13-16)."""
-    return jnp.asarray(vecs) @ jnp.linalg.inv(jnp.asarray(ks)).T
+    return jnp.matmul(jnp.asarray(vecs),
+                      jnp.linalg.inv(jnp.asarray(ks)).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def cart_in_uc(vecs, ks, rmin=0):
