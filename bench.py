@@ -43,6 +43,12 @@ def main():
 
     mpix_s = size * size / 1e6 / dt
     baseline = 0.2
+    # accuracy gate: the fixture embeds ZERO displacement (ks match the
+    # rendered lattice exactly), so the recovered |u| IS the pipeline
+    # error; fetch as float32 (tunnel-safe)
+    b = 8 * int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
+    u_err = float(jnp.max(jnp.abs(u[:, b:-b, b:-b])
+                          ).astype(jnp.float32))
     print(json.dumps({
         "metric": "full-pipeline GPA throughput (4096^2 moire, "
                   "FFT+WFR sweep+lstsq+multigrid unwrap, f32)",
@@ -50,6 +56,7 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / baseline, 1),
         "seconds_per_image": round(dt, 4),
+        "u_err_interior_px": round(u_err, 5),
         "device": str(jax.devices()[0]),
     }))
 
