@@ -69,15 +69,32 @@ def _factors(n, dtype, inverse):
     return [np.asarray(a, f) for a in out]
 
 
-def _dots(precision):
-    """einsum-style contraction. HIGH is clamped to HIGHEST here:
-    measured on v5e, the explicit-bf16x3 variant of the sublane
-    kernels sends Mosaic's compiler into a multi-minute blowup (the
-    lane kernels compile fine), and the transform is already
-    HBM-lean at HIGHEST (23 ms per (2, 4096^2) round) — so exactness
-    is free compared to the compile risk."""
-    if precision == jax.lax.Precision.HIGH:
+def _dots(precision, sublane=False):
+    """einsum-style contraction at the requested effective precision.
+
+    HIGH on the LANE kernels = explicit bf16x3 (split operands into
+    bf16 hi/lo, three DEFAULT MXU passes, ~1e-7 relative) — measured
+    to compile fine. HIGH on the SUBLANE kernels is clamped to
+    HIGHEST: their bf16 sublane-contraction einsums send Mosaic into a
+    multi-minute compile blowup ending in VMEM OOM, and exactness is
+    cheap next to that risk."""
+    if precision == jax.lax.Precision.HIGH and sublane:
         precision = jax.lax.Precision.HIGHEST
+    if precision == jax.lax.Precision.HIGH:
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def ein(expr, a, b):
+            def raw(x, y):
+                return jnp.einsum(expr, x, y,
+                                  precision=jax.lax.Precision.DEFAULT,
+                                  preferred_element_type=jnp.float32)
+            ahi, alo = split(a)
+            bhi, blo = split(b)
+            return raw(ahi, bhi) + raw(ahi, blo) + raw(alo, bhi)
+        return ein
 
     def ein(expr, a, b):
         return jnp.einsum(expr, a, b, precision=precision,
@@ -169,7 +186,7 @@ def idct_lane(y, precision=jax.lax.Precision.HIGHEST, interpret=None):
 
 def _fwd_sub_kernel(x_ref, uc, us, vc, vs, wc, ws, o_ref, *,
                     precision, inverse):
-    ein = _dots(precision)
+    ein = _dots(precision, sublane=True)
     x = x_ref[0]                       # (q, 128, m) = flat (n, m)
     if not inverse:
         # T[k1, j1, m] = sum_j2 W[k1, j2] x[j2, j1, m]
