@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..config import DEFAULTS
 from ..core import interp
 from ..core.fourier import fourier_gaussian_multiplier, wiener_deconvolve
-from ..ops.wfr import wfr_sweep
+from ..ops.wfr import wfr_sweep, wfr_sweep_phase_weight
 from .reconstruct import (reconstruct_u_inv_from_phases,
                           reconstruct_u_inv_from_demod)
 
@@ -166,20 +166,16 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
         img0 = image - image.mean()
         with jax.named_scope("gpa.spectrum"):
             spectrum = jnp.fft.fft2(img0)
-        lockins, absqs = [], []
+        phs, wts = [], []
         for i in range(len(wlists)):
             with jax.named_scope(f"gpa.wfr_sweep_{i}"):
-                g = wfr_sweep(img0, wlists[i], kv[i], sig, chunk=chunk,
-                              with_w=False, rebase=False,
-                              return_absq=True, spectrum=spectrum)
-            lockins.append(g["lockin"])
-            absqs.append(g["absq"])
-        lockins = jnp.stack(lockins)
-        with jax.named_scope("gpa.weights"):
-            phases_demod = jnp.angle(lockins)
-            mask = jnp.zeros(shape, dtype)
-            mask = mask.at[dr:-dr, dr:-dr].set(1.0)
-            weights = jnp.sqrt(jnp.stack(absqs)) * (mask + 1e-6)
+                ph, w = wfr_sweep_phase_weight(
+                    img0, np.asarray(wlists[i]), kv[i], sig, dr,
+                    spectrum=spectrum, chunk=chunk)
+            phs.append(ph)
+            wts.append(w)
+        phases_demod = jnp.stack(phs)
+        weights = jnp.stack(wts)
         with jax.named_scope("gpa.reconstruct"):
             u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
                                              kmax=unwrap_kmax,

@@ -85,7 +85,8 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             b1r_ref, b1i_ref, base_ref,
             ba_ref, br_ref, bi_ref, bx_ref,
             oa_ref, or_ref, oi_ref, ox_ref,
-            t_ref, tlo_ref, *, precision):
+            ph_ref, w_ref,
+            t_ref, tlo_ref, *, precision, emit_dr):
     C = gx_ref.shape[0]
     R = a0c_ref.shape[0]
     W1 = sr_ref.shape[1]
@@ -169,6 +170,7 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                                       oa_ref[:])
                 or_ref[:] = jnp.where(sel, mr, or_ref[:])
                 oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+        _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr)
         return
 
     t = t_ref[:]                      # (C*R, 2*W1) f32
@@ -192,16 +194,67 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
     or_ref[:] = br
     oi_ref[:] = bi
     ox_ref[:] = bx
+    _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr)
+
+
+# Mosaic has no atan/atan2 lowering; degree-8 polynomial in t^2 fitted
+# on Chebyshev nodes — max |err| 1.2e-8 rad over [0, 1], far below the
+# pipeline's f32 phase noise. Standard octant reduction handles the
+# rest of the plane; atan2(0, 0) returns 0.
+_ATAN_C = (0.9999999842426367, -0.33333066780692006,
+           0.19992483578501838, -0.14202570511686974,
+           0.10636754098042872, -0.07495445443117779,
+           0.04258760746266369, -0.016005030501746318,
+           0.0028340642985320618)
+
+
+def _atan2(y, x):
+    ay = jnp.abs(y)
+    ax = jnp.abs(x)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.where(hi > 0.0, hi, 1.0)
+    s = t * t
+    poly = jnp.full_like(t, _ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        poly = poly * s + c
+    r = t * poly
+    pi = 3.14159265358979
+    r = jnp.where(ay > ax, pi / 2 - r, r)
+    r = jnp.where(x < 0.0, pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
+    """Optionally write the winner's PHASE and WEIGHT planes directly:
+    the pipeline consumes angle(lockin) and sqrt(absq)*(mask+1e-6),
+    and computing them here (per tile, values already in VMEM) removes
+    three full-size XLA passes per sweep. emit_dr = (dr, n, m) border
+    of the interior weight mask (extract_displacement_field's rim,
+    reference geometric_phase_analysis.py:923-926), or None."""
+    if emit_dr is None:
+        return
+    dr, n, m = emit_dr
+    R, Cc = ph_ref.shape
+    r0 = pl.program_id(0) * R
+    c0 = pl.program_id(1) * Cc
+    ph_ref[:] = _atan2(oi_ref[:], or_ref[:])
+    ii = jax.lax.broadcasted_iota(jnp.int32, (R, Cc), 0) + r0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (R, Cc), 1) + c0
+    interior = ((ii >= dr) & (ii < n - dr)
+                & (jj >= dr) & (jj < m - dr))
+    mask = jnp.where(interior, 1.0 + 1e-6, 1e-6).astype(w_ref.dtype)
+    w_ref[:] = jnp.sqrt(jnp.maximum(oa_ref[:], 0.0)) * mask
 
 
 @partial(jax.jit,
          static_argnames=("n", "m", "rows", "cols", "precision",
-                          "interpret"))
+                          "interpret", "emit_dr"))
 def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                            base_idx, best_absq, best_r, best_i,
                            best_idx, *, n, m, rows=None, cols=None,
                            precision=jax.lax.Precision.HIGHEST,
-                           interpret=False):
+                           interpret=False, emit_dr=None):
     """Run one chunk of C candidates through the fully-fused sweep,
     updating the four carry planes in place (donated/aliased).
 
@@ -226,8 +279,13 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
         return pl.BlockSpec((rows, cols), lambda r, c: (r, c),
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        partial(_kernel, precision=precision),
+    # phase/weight emission shapes (dummy (8, 128) planes when off)
+    ph_shape = (n, m) if emit_dr is not None else (8, 128)
+    ph_spec = (plane() if emit_dr is not None
+               else pl.BlockSpec((8, 128), lambda r, c: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        partial(_kernel, precision=precision, emit_dr=emit_dr),
         grid=grid,
         in_specs=[const((W0, W1)), const((W0, W1)),
                   const((C, W0)), const((C, W1)),
@@ -241,11 +299,14 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   plane(), plane(), plane(), plane()],
-        out_specs=(plane(), plane(), plane(), plane()),
+        out_specs=(plane(), plane(), plane(), plane(),
+                   ph_spec, ph_spec),
         out_shape=(jax.ShapeDtypeStruct((n, m), best_absq.dtype),
                    jax.ShapeDtypeStruct((n, m), best_r.dtype),
                    jax.ShapeDtypeStruct((n, m), best_i.dtype),
-                   jax.ShapeDtypeStruct((n, m), best_idx.dtype)),
+                   jax.ShapeDtypeStruct((n, m), best_idx.dtype),
+                   jax.ShapeDtypeStruct(ph_shape, best_absq.dtype),
+                   jax.ShapeDtypeStruct(ph_shape, best_absq.dtype)),
         input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
         scratch_shapes=[
             pltpu.VMEM((C * rows, 2 * W1),
@@ -262,14 +323,19 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
     )(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
       jnp.asarray([base_idx], jnp.int32).reshape(1),
       best_absq, best_r, best_i, best_idx)
+    return out
 
 
 def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
                      precision=jax.lax.Precision.HIGHEST,
-                     max_chunk=48, interpret=False):
+                     max_chunk=48, interpret=False, emit_dr=None):
     """Whole-sweep driver: splits the P candidates into VMEM-sized
     chunks (unrolled Python loop, one pallas_call each — usually one)
-    and returns (best_absq, best_r, best_i, best_idx)."""
+    and returns (best_absq, best_r, best_i, best_idx[, phase, weight]).
+
+    emit_dr = (dr,) emits the winner's phase and the rim-masked weight
+    directly from the kernel (only meaningful results on the LAST
+    chunk; with one chunk — the production case — always valid)."""
     P = gx.shape[0]
     n = A0c.shape[0]
     m = A1c.shape[0]
@@ -280,10 +346,17 @@ def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
     best_r = jnp.zeros((n, m), rdt)
     best_i = jnp.zeros((n, m), rdt)
     best_idx = jnp.zeros((n, m), jnp.int32)
+    ph = w = None
     for s in range(0, P, max_chunk):
         e = min(s + max_chunk, P)
-        best_absq, best_r, best_i, best_idx = fused_zoom_sweep_chunk(
-            Sr, Si, gx[s:e], gy[s:e], A0c, A0s, B1r, B1i, s,
-            best_absq, best_r, best_i, best_idx, n=n, m=m,
-            precision=precision, interpret=interpret)
+        last = e >= P
+        ed = ((int(emit_dr[0]), n, m)
+              if (emit_dr is not None and last) else None)
+        best_absq, best_r, best_i, best_idx, ph, w = \
+            fused_zoom_sweep_chunk(
+                Sr, Si, gx[s:e], gy[s:e], A0c, A0s, B1r, B1i, s,
+                best_absq, best_r, best_i, best_idx, n=n, m=m,
+                precision=precision, interpret=interpret, emit_dr=ed)
+    if emit_dr is not None:
+        return best_absq, best_r, best_i, best_idx, ph, w
     return best_absq, best_r, best_i, best_idx

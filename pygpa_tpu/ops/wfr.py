@@ -312,6 +312,63 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
             best_grad)
 
 
+@partial(jax.jit, static_argnames=("sigma", "dr", "chunk"))
+def _wfr_sweep_zoom_pw(spectrum, wlist, idx0, idx1, sigma, dr, chunk):
+    """Fused zoom sweep emitting the winner PHASE and rim-masked
+    WEIGHT directly from the kernel (pipeline hot path: skips the
+    angle/sqrt/mask XLA passes and never materializes the complex
+    lock-in). Requires the fused TPU path; the caller guards."""
+    n, m = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    S = jnp.take(jnp.take(spectrum, idx0, axis=0), idx1, axis=1)
+    A0c, A0s = _zoom_basis(n, idx0, rdt)
+    A1c, A1s = _zoom_basis(m, idx1, rdt)
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    f0 = jnp.where(idx0 < n // 2 + n % 2, idx0, idx0 - n).astype(rdt) / n
+    f1 = jnp.where(idx1 < m // 2 + m % 2, idx1, idx1 - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wreal = wlist.astype(rdt)
+    gx = jnp.exp(-s2 * (f0[None, :] + wreal[:, 0:1]) ** 2)
+    gy = jnp.exp(-s2 * (f1[None, :] + wreal[:, 1:2]) ** 2)
+    from .pallas_sweep import fused_zoom_sweep
+    out = fused_zoom_sweep(S.real * scale, S.imag * scale, gx, gy,
+                           A0c, A0s, A1c, A1s,
+                           precision=_ZOOM_PRECISION,
+                           emit_dr=(int(dr),))
+    return out[4], out[5]          # phase, weight
+
+
+def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
+                           spectrum=None, chunk=8):
+    """Demodulated winner phase + interior-masked weight of a WFR
+    sweep — the exact inputs reconstruct_u_inv_from_demod consumes
+    (weight = sqrt(absq) * (interior mask + 1e-6), the rim mask of
+    extract_displacement_field, geometric_phase_analysis.py:923-926).
+    Kernel-emitted on the fused TPU path; XLA elsewhere."""
+    if spectrum is None:
+        image = jnp.asarray(image)
+        spectrum = jnp.fft.fft2(image)
+    shape = spectrum.shape
+    plan = None
+    if not isinstance(wlist, jax.core.Tracer):
+        plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+    if (plan is not None and _use_pallas_sweep()
+            and jnp.zeros((), spectrum.real.dtype).dtype == jnp.float32
+            and shape[0] % 128 == 0 and shape[1] % 128 == 0
+            and np.asarray(wlist).shape[0] <= 48):
+        return _wfr_sweep_zoom_pw(spectrum, jnp.asarray(wlist),
+                                  jnp.asarray(plan[0]),
+                                  jnp.asarray(plan[1]), float(sigma),
+                                  int(dr), int(chunk))
+    g = wfr_sweep(image, wlist, kref, sigma, with_w=False,
+                  rebase=False, return_absq=True, spectrum=spectrum,
+                  chunk=chunk)
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    mask = jnp.zeros(shape, rdt).at[dr:-dr, dr:-dr].set(1.0)
+    weight = jnp.sqrt(g["absq"]) * (mask + 1e-6)
+    return jnp.angle(g["lockin"]).astype(rdt), weight
+
+
 def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
               continuity_dk=None, chunk=8, spectrum=None, zoom="auto",
               rebase=True, return_absq=False):

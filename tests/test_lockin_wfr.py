@@ -165,3 +165,31 @@ def test_fused_zoom_sweep_matches_einsum():
     # index ties can only flip where absq values are within rounding
     diff = np.array(ox) != rx
     assert diff.mean() < 1e-3
+
+
+def test_fused_sweep_phase_weight_emission():
+    """The kernel-emitted phase/weight planes equal the XLA epilogue
+    (interpret mode; rim mask semantics of extract_displacement_field,
+    geometric_phase_analysis.py:923-926)."""
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
+    import jax
+    rng = np.random.default_rng(3)
+    P, W0, W1, n, m = 4, 64, 64, 256, 256
+    Sr = jnp.asarray(rng.normal(size=(W0, W1)), jnp.float32)
+    Si = jnp.asarray(rng.normal(size=(W0, W1)), jnp.float32)
+    gx = jnp.asarray(rng.uniform(0.2, 1, size=(P, W0)), jnp.float32)
+    gy = jnp.asarray(rng.uniform(0.2, 1, size=(P, W1)), jnp.float32)
+    A0c = jnp.asarray(rng.normal(size=(n, W0)), jnp.float32)
+    A0s = jnp.asarray(rng.normal(size=(n, W0)), jnp.float32)
+    A1c = jnp.asarray(rng.normal(size=(m, W1)), jnp.float32)
+    A1s = jnp.asarray(rng.normal(size=(m, W1)), jnp.float32)
+    dr = 24
+    oa, orr, oi, ox, ph, w = fused_zoom_sweep(
+        Sr, Si, gx, gy, A0c, A0s, A1c, A1s, interpret=True,
+        emit_dr=(dr,))
+    ph_ref = np.arctan2(np.array(oi), np.array(orr))
+    mask = np.full((n, m), 1e-6, np.float32)
+    mask[dr:-dr, dr:-dr] = 1.0 + 1e-6
+    w_ref = np.sqrt(np.maximum(np.array(oa), 0.0)) * mask
+    assert np.allclose(np.array(ph), ph_ref, atol=1e-5)
+    assert np.allclose(np.array(w), w_ref, rtol=1e-5, atol=1e-6)
