@@ -12,6 +12,7 @@ TPU-native notes:
  - the per-pixel weighted lstsq uses solvers.lstsq (closed form);
  - everything is jit-compatible and batched over leading axes.
 """
+import jax
 import jax.numpy as jnp
 
 from ..config import DEFAULTS
