@@ -67,7 +67,7 @@ _NC = 3                    # col blocks per window (3x3 group -> 96x384)
 def _warp_kernel(pk_ref,
                  w00_ref, w01_ref, w02_ref, w10_ref, w11_ref, w12_ref,
                  w20_ref, w21_ref, w22_ref,
-                 er_ref, ec_ref, fy_ref, fx_ref, out_ref,
+                 iy_ref, ix_ref, fy_ref, fx_ref, out_ref,
                  acc_ref, p0_ref, p1_ref):
     # 96-row window in three 128-wide column chunks; pad top and
     # bottom with copies so every d slice is in-bounds — rows read
@@ -79,13 +79,18 @@ def _warp_kernel(pk_ref,
     w1 = jnp.concatenate([w1[:_TR], w1, w1[-_TR:]], axis=0)
     w2 = jnp.concatenate([w2[:_TR], w2, w2[-_TR:]], axis=0)
 
-    er = er_ref[:]            # window row of tap0, in [0, _NB*_WR-2]
-    ec = ec_ref[:]            # window column of tap0, in [0, _NC*_WC-2]
     fy = fy_ref[:]
     fx = fx_ref[:]
     v = pk_ref[pl.program_id(0), pl.program_id(1)]
+    # window-relative taps from the scalar window base: full-size
+    # er/ec planes (plus the repeats building them) are relayout-bound
+    # XLA passes — two int ops per pixel here are free
+    oy = v & 511
+    ox = jax.lax.shift_right_logical(v, jnp.int32(9)) & 511
+    er = jnp.clip(iy_ref[:] - oy * _WR, 0, _NB * _WR - 2)
+    ec = jnp.clip(ix_ref[:] - ox * _WC, 0, _NC * _WC - 2)
     # this tile's actual d_pix range (bit-packed with the window base,
-    # see _pack_tile): for smooth fields ~10 of the 103 static
+    # see the pk packing): for smooth fields ~10 of the 103 static
     # iterations do real work
     smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - 8
     smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - 8
@@ -151,7 +156,7 @@ def _cr_weights(t):
 def _warp_cubic_kernel(pk_ref,
                        w00_ref, w01_ref, w02_ref, w10_ref, w11_ref,
                        w12_ref, w20_ref, w21_ref, w22_ref,
-                       er_ref, ec_ref, fy_ref, fx_ref, out_ref,
+                       iy_ref, ix_ref, fy_ref, fx_ref, out_ref,
                        acc_ref, r0_ref, r1_ref, r2_ref, r3_ref):
     """Catmull-Rom 4x4-tap variant: er/ec point at the FIRST tap
     (floor - 1, pre-shifted by the wrapper). Per executed d, the four
@@ -166,11 +171,13 @@ def _warp_cubic_kernel(pk_ref,
     w1 = jnp.concatenate([w1[:_TR], w1, w1[-_TR:]], axis=0)
     w2 = jnp.concatenate([w2[:_TR], w2, w2[-_TR:]], axis=0)
 
-    er = er_ref[:]
-    ec = ec_ref[:]
     fy = fy_ref[:]
     fx = fx_ref[:]
     v = pk_ref[pl.program_id(0), pl.program_id(1)]
+    oy = v & 511
+    ox = jax.lax.shift_right_logical(v, jnp.int32(9)) & 511
+    er = jnp.clip(iy_ref[:] - oy * _WR, 0, _NB * _WR - 4)
+    ec = jnp.clip(ix_ref[:] - ox * _WC, 0, _NC * _WC - 4)
     smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - 8
     smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - 8
 
@@ -260,33 +267,39 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
     nr, nc = ch // _TR, cw // _TC
     nbr, nbc = n // _WR, m // _WC
 
-    # Per-tile window bases (block-granular, scalar-prefetched).
+    # Per-tile aggregates only (the kernels rebuild per-pixel er/ec
+    # from the scalar window base — full-size er/ec planes and the
+    # repeats that built them were relayout-bound XLA passes).
     i_loc = jnp.arange(ch, dtype=jnp.int32)[:, None] % _TR
-    rel = (iy0 - i_loc).reshape(nr, _TR, nc, _TC)
-    base_rel = rel.min(axis=(1, 3))                       # (nr, nc)
-    oy = jnp.clip(base_rel // _WR, 0, nbr - _NB)
-    min_ix = ix0.reshape(nr, _TR, nc, _TC).min(axis=(1, 3))
-    ox = jnp.clip(min_ix // _WC, 0, nbc - _NC)
+    rel = iy0 - i_loc
+    rel4 = rel.reshape(nr, _TR, nc, _TC)
+    rel_min = rel4.min(axis=(1, 3))                       # (nr, nc)
+    rel_max = rel4.max(axis=(1, 3))
+    iy4 = iy0.reshape(nr, _TR, nc, _TC)
+    iy_min = iy4.min(axis=(1, 3))
+    iy_max = iy4.max(axis=(1, 3))
+    ix4 = ix0.reshape(nr, _TR, nc, _TC)
+    ix_min = ix4.min(axis=(1, 3))
+    ix_max = ix4.max(axis=(1, 3))
+    oy = jnp.clip(rel_min // _WR, 0, nbr - _NB)
+    ox = jnp.clip(ix_min // _WC, 0, nbc - _NC)
 
-    # Per-pixel window-relative offsets. Clamping would silently
-    # corrupt samples whenever a tile's taps span more than its 3x3
-    # window (sawtooth coords at unit-cell seams, arbitrary caller
-    # fields) — detect that exactly and lax.cond to the dense XLA
-    # fallback below, so out-of-domain inputs are slow, never wrong.
-    oy_full = jnp.repeat(jnp.repeat(oy, _TR, 0), _TC, 1)
-    ox_full = jnp.repeat(jnp.repeat(ox, _TR, 0), _TC, 1)
-    er_raw = iy0 - oy_full * _WR
-    ec_raw = ix0 - ox_full * _WC
-    in_domain = jnp.all((er_raw >= 0) & (er_raw <= _NB * _WR - taps)
-                        & (ec_raw >= 0) & (ec_raw <= _NC * _WC - taps))
-    er = jnp.clip(er_raw, 0, _NB * _WR - taps)
-    ec = jnp.clip(ec_raw, 0, _NC * _WC - taps)
+    # Validity: clamping would silently corrupt samples whenever a
+    # tile's taps span more than its 3x3 window (sawtooth coords at
+    # unit-cell seams, arbitrary caller fields) — detect that exactly
+    # from the tile aggregates and lax.cond to the dense XLA fallback
+    # below, so out-of-domain inputs are slow, never wrong.
+    in_domain = jnp.all(
+        (iy_min - oy * _WR >= 0)
+        & (iy_max - oy * _WR <= _NB * _WR - taps)
+        & (ix_min - ox * _WC >= 0)
+        & (ix_max - ox * _WC <= _NC * _WC - taps))
 
-    # Per-tile d_pix range for the kernels' runtime iteration skip.
-    d_pix = er - i_loc
-    dt4 = d_pix.reshape(nr, _TR, nc, _TC)
-    dmin = dt4.min(axis=(1, 3))
-    dmax = dt4.max(axis=(1, 3))
+    # Per-tile d_pix range for the kernels' runtime iteration skip
+    # (d_pix = er - i_loc = rel - oy*_WR on in-domain tiles; clip to
+    # the 7-bit packing range — out-of-range only on fallback tiles).
+    dmin = jnp.clip(rel_min - oy * _WR, -8, 119)
+    dmax = jnp.clip(rel_max - oy * _WR, -8, 119)
 
     dtype = image.dtype
     scratch = [pltpu.VMEM((_TR, _TC), dtype)] * (2 if taps == 2 else 4)
@@ -322,7 +335,7 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ch, cw), image.dtype),
             interpret=interpret,
-        )(pk, *([image] * (_NB * _NC)), er, ec, fy, fx)
+        )(pk, *([image] * (_NB * _NC)), iy0, ix0, fy, fx)
 
     return jax.lax.cond(
         in_domain, pallas_branch,
