@@ -116,3 +116,61 @@ def test_factory_multigrid_accuracy(testset_gaussian, gaussiandeform):
                                       deconvolve=True)
     u2 = -np.array(fn2(deformed))
     assert np.all(np.abs(u2 - gaussiandeform)[:, 20:-20, 20:-20] < 0.05)
+
+
+def test_wfr_sweep_phase_weight_fallback_parity():
+    """wfr_sweep_phase_weight (pipeline hot-path entry) must equal the
+    manual angle/sqrt/mask composition on the XLA fallback path."""
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import wfr_sweep, wfr_sweep_phase_weight
+    img = np.asarray(hexlattice_gen(0.1, 7.0, order=1, size=128,
+                                    dtype=np.float64))
+    img = img - img.mean()
+    ks = np.asarray(generate_ks(0.1, 7.0))[:3]
+    kw = np.linalg.norm(ks, axis=1).mean() / 2.5
+    wxs = np.arange(ks[0, 0] - kw, ks[0, 0] + kw, kw / 3)
+    wys = np.arange(ks[0, 1] - kw, ks[0, 1] + kw, kw / 3)
+    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+    wlist = np.stack([wx.ravel(), wy.ravel()], -1)
+    dr = 20
+    ph, w = wfr_sweep_phase_weight(jnp.asarray(img), wlist, ks[0], 10,
+                                   dr)
+    g = wfr_sweep(jnp.asarray(img), wlist, ks[0], 10, with_w=False,
+                  rebase=False, return_absq=True)
+    mask = np.zeros(img.shape)
+    mask[dr:-dr, dr:-dr] = 1.0
+    assert np.allclose(np.asarray(ph), np.angle(np.asarray(g["lockin"])),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(w),
+                       np.sqrt(np.asarray(g["absq"])) * (mask + 1e-6),
+                       rtol=1e-12)
+
+
+def test_invert_u_dual_warp_matches_per_component():
+    """The single-launch dual-component warp inside invert_u (order 1,
+    'nearest') equals per-component map_coordinates exactly."""
+    import jax.numpy as jnp
+    from pygpa_tpu.gpa.pipeline import invert_u
+    from pygpa_tpu.core import interp
+    rng = np.random.default_rng(5)
+    n, m = 96, 112
+    yy, xx = np.meshgrid(np.arange(n, dtype=float),
+                         np.arange(m, dtype=float), indexing="ij")
+    us = np.stack([2.0 * np.sin(yy / 17) * np.cos(xx / 13),
+                   1.5 * np.cos(yy / 11)])
+    fast = invert_u(jnp.asarray(us), iters=7, order=1)
+
+    # plain reference loop
+    u_it = np.zeros_like(us)
+    xxj, yyj = jnp.mgrid[:n, :m]
+    cur = None
+    for _ in range(8):  # body applied once for init + 7 loop iters
+        coords = jnp.stack([xxj + (0 if cur is None else cur[0]),
+                            yyj + (0 if cur is None else cur[1])])
+        cur = jnp.stack([
+            interp.map_coordinates(jnp.asarray(us[0]), coords, order=1,
+                                   mode="nearest"),
+            interp.map_coordinates(jnp.asarray(us[1]), coords, order=1,
+                                   mode="nearest")])
+    assert np.allclose(np.asarray(fast), np.asarray(cur), atol=1e-12)
