@@ -27,6 +27,20 @@ def main():
     img = jax.device_put(img)
     ks = np.asarray(generate_ks(r_k, theta, kappa=kappa, psi=psi))[:3]
 
+    # deformed fixture: the conftest 500^2 Gaussian-envelope x-shift
+    # scaled to 4096^2 — a KNOWN analytic u, so the pipeline error on a
+    # nonzero displacement is gated too (errors that scale with u are
+    # invisible to the zero-displacement fixture below)
+    S = size // 2
+    xp, yp = np.meshgrid(np.arange(-S, S), np.arange(-S, S),
+                         indexing="ij")
+    xshift = (0.1 * xp * np.exp(-0.5 * ((xp / (2 * S / 8)) ** 2
+                                        + 1.2 * (yp / (2 * S / 6)) ** 2)))
+    u_true = np.stack((xshift, np.zeros_like(xshift))).astype(np.float32)
+    img_d = jax.device_put(hexlattice_gen(
+        r_k, theta, order=2, size=size, kappa=kappa, psi=psi,
+        shift=u_true, dtype=jnp.float32))
+
     fn = make_displacement_extractor((size, size), ks, chunk=4,
                                  unwrap_coarse=4)
 
@@ -49,6 +63,13 @@ def main():
     b = 8 * int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
     u_err = float(jnp.max(jnp.abs(u[:, b:-b, b:-b])
                           ).astype(jnp.float32))
+    # deformed-fixture gate: recovered -u vs the analytic truth
+    # (mean-subtracted — the pipeline determines u up to a constant)
+    ud = fn(img_d)
+    resid = -ud - jnp.asarray(u_true)
+    resid = resid[:, b:-b, b:-b]
+    resid = resid - resid.mean(axis=(1, 2), keepdims=True)
+    u_err_def = float(jnp.max(jnp.abs(resid)).astype(jnp.float32))
     print(json.dumps({
         "metric": "full-pipeline GPA throughput (4096^2 moire, "
                   "FFT+WFR sweep+lstsq+multigrid unwrap, f32)",
@@ -57,6 +78,7 @@ def main():
         "vs_baseline": round(mpix_s / baseline, 1),
         "seconds_per_image": round(dt, 4),
         "u_err_interior_px": round(u_err, 5),
+        "u_err_deformed_px": round(u_err_def, 5),
         "device": str(jax.devices()[0]),
     }))
 

@@ -160,12 +160,38 @@ def config5():
         4 * tile * tile / 1e6 / dt
 
 
+def config5f():
+    """Per-pixel Kerelsky J-field fit throughput (iterate_J_leastsq):
+    the reference maps scipy least_squares over a dask gufunc
+    (property_extract.py:863-883); here every pixel's two-start LM is
+    one vmapped device program. Unit: Mpix/s of fitted pixels."""
+    import jax
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import generate_ks
+    from pygpa_tpu.props.kerelsky import (Kerelsky_Jac, _jac_a0,
+                                          iterate_J_leastsq)
+    kvecs = np.asarray(generate_ks(0.02, 1.2))[:3]
+    refest = Kerelsky_Jac(kvecs)
+    _, A0 = _jac_a0(kvecs, 1.0, 0.246, 0)
+    n = 128
+    xg, yg = np.meshgrid(np.linspace(0, 2 * np.pi, n),
+                         np.linspace(0, 2 * np.pi, n), indexing="ij")
+    pert = 1e-3 * np.stack(
+        [np.sin(xg), np.cos(yg), np.sin(xg + yg), np.cos(xg - yg)],
+        axis=-1).reshape(n, n, 2, 2)
+    JacA0s = jnp.asarray(A0[None, None] + pert, jnp.float32)
+    fn = jax.jit(lambda J: iterate_J_leastsq(J, jnp.asarray(
+        refest, jnp.float32)))
+    dt = _timeit(fn, JacA0s, reps=2)
+    return "Kerelsky J-field per-pixel LM fits, 128^2", n * n / 1e6 / dt
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,1b,2,3,4,5")
+    p.add_argument("--configs", default="1,1b,2,3,4,5,5f")
     args = p.parse_args()
     fns = {"1": config1, "1b": config1b, "2": config2, "3": config3,
-           "4": config4, "5": config5}
+           "4": config4, "5": config5, "5f": config5f}
     for c in args.configs.split(","):
         name, mpix = fns[c]()
         print(json.dumps({"config": c, "metric": name,

@@ -61,15 +61,24 @@ _MAX_PEAKS = 128
 
 
 @partial(jax.jit, static_argnames=("dog",))
-def _peak_candidates(image, sigma, threshold, dog):
+def _peak_candidates(image, sigma, threshold, rlo, rhi, dog):
     """One device program per detection attempt: smoothed spectrum,
     local-max mask, top-K candidate extraction, and the 3x3
     neighborhoods for sub-bin refinement. Only O(K) scalars cross to
     the host (the reference pulls the full smoothed spectrum per
     recursion level; on the TPU tunnel that is a full-image transfer
-    every retry)."""
+    every retry).
+
+    The (rlo, rhi) pix_norm_range annulus is applied ON DEVICE before
+    the top-K so strong out-of-range maxima (the DC hump, high-q noise)
+    cannot crowd genuine in-range Bragg peaks out of the K slots."""
     smooth = _peak_image(image, sigma, dog)
     mask = local_max_mask(smooth, threshold.astype(smooth.dtype))
+    n_, m_ = smooth.shape
+    ri = (jnp.arange(n_, dtype=smooth.dtype) - n_ // 2)[:, None]
+    rj = (jnp.arange(m_, dtype=smooth.dtype) - m_ // 2)[None, :]
+    r2 = ri * ri + rj * rj
+    mask = mask & (r2 > rlo * rlo) & (r2 < rhi * rhi)
     vals = jnp.where(mask, smooth, -jnp.inf)
     k = min(_MAX_PEAKS, vals.size)
     top_vals, flat_idx = jax.lax.top_k(vals.ravel(), k)
@@ -107,14 +116,20 @@ def _subpixel_refine(neigh, cindices, shape):
     n, m = shape
     interior_i = (ii > 0) & (ii < n - 1)
     interior_j = (jj > 0) & (jj < m - 1)
-    c = neigh[:, 1, 1]
-    den_i = neigh[:, 0, 1] - 2 * c + neigh[:, 2, 1]
-    den_j = neigh[:, 1, 0] - 2 * c + neigh[:, 1, 2]
+    # The 3x3 window was clip-shifted at image borders, so the peak
+    # sits at (ii - starts_i, jj - starts_j), not necessarily (1, 1):
+    # a border-row peak must still refine its COLUMN from its own row
+    # (and vice versa), not from the window-center row.
+    ci = ii - np.clip(ii - 1, 0, n - 3)
+    cj = jj - np.clip(jj - 1, 0, m - 3)
+    k = np.arange(len(ii))
+    col = neigh[k, :, cj]          # (K, 3) column through the peak
+    row = neigh[k, ci, :]          # (K, 3) row through the peak
+    den_i = col[:, 0] - 2 * col[:, 1] + col[:, 2]
+    den_j = row[:, 0] - 2 * row[:, 1] + row[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
-        di = np.clip(0.5 * (neigh[:, 0, 1] - neigh[:, 2, 1]) / den_i,
-                     -0.5, 0.5)
-        dj = np.clip(0.5 * (neigh[:, 1, 0] - neigh[:, 1, 2]) / den_j,
-                     -0.5, 0.5)
+        di = np.clip(0.5 * (col[:, 0] - col[:, 2]) / den_i, -0.5, 0.5)
+        dj = np.clip(0.5 * (row[:, 0] - row[:, 2]) / den_j, -0.5, 0.5)
     di = np.where(interior_i & (den_i < 0), di, 0.0)
     dj = np.where(interior_j & (den_j < 0), dj, 0.0)
     return np.stack([ii + di, jj + dj], axis=-1)
@@ -136,7 +151,9 @@ def extract_primary_ks(image, plot=False, threshold=0.7,
     # on tunneled TPU backends)
     top_vals, pii, pjj, neigh, valid = _peak_candidates(
         image, jnp.asarray(float(sigma)),
-        jnp.asarray(float(threshold)), bool(DoG))
+        jnp.asarray(float(threshold)),
+        jnp.asarray(float(pix_norm_range[0])),
+        jnp.asarray(float(pix_norm_range[1])), bool(DoG))
     valid_h = np.asarray(valid) > 0.5
     vals_h = np.asarray(top_vals)[valid_h]   # descending (top_k order)
     cindices = np.stack([np.asarray(pii)[valid_h],

@@ -63,25 +63,31 @@ def homogenize_per_axis(image, sigma=200, mask=None,
 
 
 def _nan_rows_cols(image):
-    """Per-(row, column) NaN indicator of a 2D(+channels) image.
-    Color channels collapse the way the reference treats them
-    (imagetools.py:128-142): RGBA ignores the alpha channel."""
+    """Per-(row, column) NaN count of a 2D(+channels) image — NaN
+    entries are counted per channel, the way the reference's peeling
+    counts them (imagetools.py:145-175 sums raw np.isnan)."""
     nan = np.isnan(np.asarray(image))
     if nan.ndim >= 3:
-        if nan.shape[-1] == 4:
-            nan = nan[..., :3]
-        nan = nan.any(axis=tuple(range(2, nan.ndim)))
-    return nan
+        nan = nan.sum(axis=tuple(range(2, nan.ndim)))
+    return nan.astype(np.int64)
 
 
 def trim_nans(image):
-    """Drop rows/columns that are entirely NaN (contract of reference
-    imagetools.py:128-142). Host-side (data-dependent shape)."""
+    """Drop rows/columns where ANY single channel is all-NaN along the
+    full row/column (the reference's reduction order, imagetools.py:
+    128-142: all() along the axis first, THEN any() over channels,
+    with RGBA ignoring alpha). Host-side (data-dependent shape)."""
     image = np.asarray(image)
-    nan = _nan_rows_cols(image)
-    keep_r = np.flatnonzero(~nan.all(axis=1))
-    keep_c = np.flatnonzero(~nan.all(axis=0))
-    return image[keep_r][:, keep_c]
+    nan = np.isnan(image)
+    xmask = nan.all(axis=1)        # (N, ...channels)
+    ymask = nan.all(axis=0)
+    if nan.ndim >= 3:
+        if nan.shape[-1] == 4:
+            xmask = xmask[..., :3]
+            ymask = ymask[..., :3]
+        xmask = xmask.any(axis=tuple(range(1, xmask.ndim)))
+        ymask = ymask.any(axis=tuple(range(1, ymask.ndim)))
+    return image[~xmask][:, ~ymask]
 
 
 def trim_nans2(image, return_lims=False):

@@ -81,12 +81,14 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
-            b1r_ref, b1i_ref, base_ref,
-            ba_ref, br_ref, bi_ref, bx_ref,
-            oa_ref, or_ref, oi_ref, ox_ref,
+def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
+            a0c_ref, a0s_ref, b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
+            base_ref,
+            ba_ref, br_ref, bi_ref, bx_ref, bgx_ref, bgy_ref,
+            oa_ref, or_ref, oi_ref, ox_ref, ogx_ref, ogy_ref,
             ph_ref, w_ref,
-            t_ref, tlo_ref, *, precision, emit_dr):
+            t_ref, tlo_ref, tx_ref, txlo_ref, *,
+            precision, emit_dr, emit_grad):
     C = gx_ref.shape[0]
     R = a0c_ref.shape[0]
     W1 = sr_ref.shape[1]
@@ -95,29 +97,34 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
 
     @pl.when(pl.program_id(1) == 0)
     def _stage1():
-        sr = sr_ref[:]                    # (W0, W1) pre-scaled window
-        si = si_ref[:]
         a0c = a0c_ref[:]                  # (R, W0) row basis block
         a0s = a0s_ref[:]
+        # (window, destination scratch) pairs: the lock-in spectrum
+        # window and, on the grad path, the row-derivative window S2 =
+        # (2 pi i f0) * S whose second stage yields dM/d(row).
+        srcs = [(sr_ref[:], si_ref[:], t_ref, tlo_ref)]
+        if emit_grad:
+            srcs.append((s2r_ref[:], s2i_ref[:], tx_ref, txlo_ref))
         for i in range(C):
             g = gx_ref[i][:, None] * gy_ref[i][None, :]
-            swr = g * sr
-            swi = g * si
-            # T_i = (A0c + i A0s) @ (swr + i swi); contraction over W0
-            tr = dot(a0c, swr, _D01) - dot(a0s, swi, _D01)
-            ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
-            if high:
-                # store bf16 hi/lo once — the per-step second stage
-                # then reads half the bytes and skips re-splitting
-                rhi, rlo = _split_bf16(tr)
-                ihi, ilo = _split_bf16(ti)
-                t_ref[i * R:(i + 1) * R, :W1] = rhi
-                t_ref[i * R:(i + 1) * R, W1:] = ihi
-                tlo_ref[i * R:(i + 1) * R, :W1] = rlo
-                tlo_ref[i * R:(i + 1) * R, W1:] = ilo
-            else:
-                t_ref[i * R:(i + 1) * R, :W1] = tr
-                t_ref[i * R:(i + 1) * R, W1:] = ti
+            for (xr, xi, dst, dstlo) in srcs:
+                swr = g * xr
+                swi = g * xi
+                # T_i = (A0c + i A0s) @ (swr + i swi); contraction W0
+                tr = dot(a0c, swr, _D01) - dot(a0s, swi, _D01)
+                ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
+                if high:
+                    # store bf16 hi/lo once — the per-step second stage
+                    # then reads half the bytes and skips re-splitting
+                    rhi, rlo = _split_bf16(tr)
+                    ihi, ilo = _split_bf16(ti)
+                    dst[i * R:(i + 1) * R, :W1] = rhi
+                    dst[i * R:(i + 1) * R, W1:] = ihi
+                    dstlo[i * R:(i + 1) * R, :W1] = rlo
+                    dstlo[i * R:(i + 1) * R, W1:] = ilo
+                else:
+                    dst[i * R:(i + 1) * R, :W1] = tr
+                    dst[i * R:(i + 1) * R, W1:] = ti
 
     # second stage for ALL candidates in two deep dots:
     #   Re M = Tr @ A1c^T - Ti @ A1s^T = [Tr|Ti] @ [A1c|-A1s]^T
@@ -134,30 +141,49 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
         tlo = tlo_ref[:]
         b1r_hi, b1r_lo = _split_bf16(b1r_ref[:])
         b1i_hi, b1i_lo = _split_bf16(b1i_ref[:])
-        # PASS A — winner search at single-pass bf16 (the argmax does
-        # not need exact amplitudes; ties between near-identical
-        # candidates may flip, which the reference's own float64
-        # rounding also permits)
+        if emit_grad:
+            txhi = tx_ref[:]
+            txlo = txlo_ref[:]
+            b1yr_hi, b1yr_lo = _split_bf16(b1yr_ref[:])
+            b1yi_hi, b1yi_lo = _split_bf16(b1yi_ref[:])
+
+            def exact(th, tl, bhi, blo):
+                return raw(th, bhi) + raw(th, blo) + raw(tl, bhi)
+        # carries into registers BEFORE any output write (the output
+        # blocks alias them via input_output_aliases)
+        ca = ba_ref[:]
+        cr = br_ref[:]
+        cim = bi_ref[:]
+        cx = bx_ref[:]
+        if emit_grad:
+            cgx = bgx_ref[:]
+            cgy = bgy_ref[:]
+        # PASS A — IN-CHUNK winner search at single-pass bf16 (the
+        # argmax does not need exact amplitudes; ties between
+        # near-identical candidates may flip, which the reference's own
+        # float64 rounding also permits). The tournament is strictly
+        # local — bf16 values are never compared against the exact
+        # carries, so multi-chunk sweeps carry no earlier-chunk bias:
+        # only exact pass-B values cross chunk boundaries below.
         mall_r = raw(thi, b1r_hi)
         mall_i = raw(thi, b1i_hi)
-        ba = ba_ref[:]
-        bx = bx_ref[:]
-        for i in range(C):
+        mr0 = mall_r[:R]
+        mi0 = mall_i[:R]
+        la = mr0 * mr0 + mi0 * mi0
+        lx = jnp.full(la.shape, base, jnp.int32)
+        for i in range(1, C):
             mr = mall_r[i * R:(i + 1) * R]
             mi = mall_i[i * R:(i + 1) * R]
             absq = mr * mr + mi * mi
-            sel = absq > ba
-            ba = jnp.where(sel, absq, ba)
-            bx = jnp.where(sel, base + i, bx)
-        ox_ref[:] = bx
-        # PASS B — exact bf16x3 recompute of ONLY the candidates that
-        # won somewhere in this tile (typically 1-3 of C): 1 + ~3*3/C
-        # effective MXU passes instead of 3.
-        oa_ref[:] = ba_ref[:]
-        or_ref[:] = br_ref[:]
-        oi_ref[:] = bi_ref[:]
+            sel = absq > la
+            la = jnp.where(sel, absq, la)
+            lx = jnp.where(sel, base + i, lx)
+        # PASS B — exact bf16x3 recompute of ONLY the in-chunk winners
+        # (typically 1-3 of C): 1 + ~3*3/C effective MXU passes instead
+        # of 3. Every pixel selects exactly one candidate, so the o
+        # refs end holding the exact in-chunk values everywhere.
         for i in range(C):
-            sel = bx == base + i
+            sel = lx == base + i
 
             @pl.when(jnp.any(sel))
             def _recompute(i=i, sel=sel):
@@ -170,6 +196,31 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                                       oa_ref[:])
                 or_ref[:] = jnp.where(sel, mr, or_ref[:])
                 oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                if emit_grad:
+                    # analytic winner phase gradient (see _grad_planes
+                    # for the algebra): d(-angle M) along rows from the
+                    # derivative partials Tx, along cols from the
+                    # f1-scaled column basis B1y — exact derivatives of
+                    # the band-limited interpolant, no neighbor pixels
+                    # or atan2 needed.
+                    mxr = exact(txhi[sl], txlo[sl], b1r_hi, b1r_lo)
+                    mxi = exact(txhi[sl], txlo[sl], b1i_hi, b1i_lo)
+                    myr = exact(thi[sl], tlo[sl], b1yr_hi, b1yr_lo)
+                    myi = exact(thi[sl], tlo[sl], b1yi_hi, b1yi_lo)
+                    den = jnp.maximum(mr * mr + mi * mi, 1e-30)
+                    ogx_ref[:] = jnp.where(
+                        sel, (mi * mxr - mr * mxi) / den, ogx_ref[:])
+                    ogy_ref[:] = jnp.where(
+                        sel, (mi * myr - mr * myi) / den, ogy_ref[:])
+        # exact-vs-exact merge with the earlier-chunk carries
+        win = oa_ref[:] > ca
+        oa_ref[:] = jnp.where(win, oa_ref[:], ca)
+        or_ref[:] = jnp.where(win, or_ref[:], cr)
+        oi_ref[:] = jnp.where(win, oi_ref[:], cim)
+        ox_ref[:] = jnp.where(win, lx, cx)
+        if emit_grad:
+            ogx_ref[:] = jnp.where(win, ogx_ref[:], cgx)
+            ogy_ref[:] = jnp.where(win, ogy_ref[:], cgy)
         _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr)
         return
 
@@ -194,6 +245,30 @@ def _kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
     or_ref[:] = br
     oi_ref[:] = bi
     ox_ref[:] = bx
+    if emit_grad:
+        # winner analytic gradients, recomputed per winning candidate
+        # (bx may also point at an earlier chunk's winner — those
+        # pixels keep the carried gradient seeded below)
+        ogx_ref[:] = bgx_ref[:]
+        ogy_ref[:] = bgy_ref[:]
+        tx = tx_ref[:]
+        for i in range(C):
+            sel = bx == base + i
+
+            @pl.when(jnp.any(sel))
+            def _grads(i=i, sel=sel):
+                sl = slice(i * R, (i + 1) * R)
+                mr = mall_r[sl]
+                mi = mall_i[sl]
+                mxr = dot(tx[sl], b1r_ref[:], _D11)
+                mxi = dot(tx[sl], b1i_ref[:], _D11)
+                myr = dot(t[sl], b1yr_ref[:], _D11)
+                myi = dot(t[sl], b1yi_ref[:], _D11)
+                den = jnp.maximum(mr * mr + mi * mi, 1e-30)
+                ogx_ref[:] = jnp.where(
+                    sel, (mi * mxr - mr * mxi) / den, ogx_ref[:])
+                ogy_ref[:] = jnp.where(
+                    sel, (mi * myr - mr * myi) / den, ogy_ref[:])
     _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr)
 
 
@@ -252,11 +327,13 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
                           "interpret", "emit_dr"))
 def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                            base_idx, best_absq, best_r, best_i,
-                           best_idx, *, n, m, rows=None, cols=None,
+                           best_idx, S2r=None, S2i=None, B1yr=None,
+                           B1yi=None, best_gx=None, best_gy=None,
+                           *, n, m, rows=None, cols=None,
                            precision=jax.lax.Precision.HIGHEST,
                            interpret=False, emit_dr=None):
     """Run one chunk of C candidates through the fully-fused sweep,
-    updating the four carry planes in place (donated/aliased).
+    updating the carry planes in place (donated/aliased).
 
     Sr, Si : (W0, W1) spectrum window, pre-scaled by 1/(n*m).
     gx, gy : (C, W0), (C, W1) per-candidate Gaussian bandpass factors.
@@ -264,12 +341,17 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
     B1r/B1i : (m, 2*W1) pre-concatenated column basis, [A1c | -A1s]
         and [A1s | A1c].
     base_idx : int32 scalar — candidate index of gx[0].
+    S2r/S2i, B1yr/B1yi, best_gx/best_gy : gradient-path operands
+        (row-derivative window (2 pi i f0) * S, f1-scaled column basis,
+        carried winner-gradient planes); all None disables the path.
     """
     C = gx.shape[0]
     W0, W1 = Sr.shape
+    emit_grad = S2r is not None
     rows = rows or max(b for b in (8, 64, 128, _ROWS) if n % b == 0)
     cols = cols or max(b for b in (128, _COLS) if m % b == 0)
     grid = (n // rows, m // cols)
+    high = precision == jax.lax.Precision.HIGH
 
     def const(shape):
         return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
@@ -279,63 +361,97 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
         return pl.BlockSpec((rows, cols), lambda r, c: (r, c),
                             memory_space=pltpu.VMEM)
 
+    def dummy_spec():
+        return pl.BlockSpec((8, 128), lambda r, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dummy = jnp.zeros((8, 128), Sr.dtype)
+    colspec = pl.BlockSpec((cols, 2 * W1), lambda r, c: (c, 0),
+                           memory_space=pltpu.VMEM)
+
     # phase/weight emission shapes (dummy (8, 128) planes when off)
     ph_shape = (n, m) if emit_dr is not None else (8, 128)
-    ph_spec = (plane() if emit_dr is not None
-               else pl.BlockSpec((8, 128), lambda r, c: (0, 0),
-                                 memory_space=pltpu.VMEM))
+    ph_spec = plane() if emit_dr is not None else dummy_spec()
+    g_shape = (n, m) if emit_grad else (8, 128)
+    g_spec = plane() if emit_grad else dummy_spec()
+    if not emit_grad:
+        S2r = S2i = B1yr = B1yi = best_gx = best_gy = dummy
+    aliases = {13: 0, 14: 1, 15: 2, 16: 3}
+    if emit_grad:
+        aliases.update({17: 4, 18: 5})
+
+    t_scr = pltpu.VMEM((C * rows, 2 * W1),
+                       jnp.bfloat16 if high else jnp.float32)
+    tlo_scr = pltpu.VMEM((C * rows, 2 * W1) if high else (8, 128),
+                         jnp.bfloat16)
+    tx_scr = (pltpu.VMEM((C * rows, 2 * W1),
+                         jnp.bfloat16 if high else jnp.float32)
+              if emit_grad else pltpu.VMEM((8, 128), jnp.float32))
+    txlo_scr = (pltpu.VMEM((C * rows, 2 * W1), jnp.bfloat16)
+                if (emit_grad and high)
+                else pltpu.VMEM((8, 128), jnp.bfloat16))
+
     out = pl.pallas_call(
-        partial(_kernel, precision=precision, emit_dr=emit_dr),
+        partial(_kernel, precision=precision, emit_dr=emit_dr,
+                emit_grad=emit_grad),
         grid=grid,
         in_specs=[const((W0, W1)), const((W0, W1)),
+                  const(S2r.shape) if emit_grad else dummy_spec(),
+                  const(S2i.shape) if emit_grad else dummy_spec(),
                   const((C, W0)), const((C, W1)),
                   pl.BlockSpec((rows, W0), lambda r, c: (r, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((rows, W0), lambda r, c: (r, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cols, 2 * W1), lambda r, c: (c, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cols, 2 * W1), lambda r, c: (c, 0),
-                               memory_space=pltpu.VMEM),
+                  colspec, colspec,
+                  colspec if emit_grad else dummy_spec(),
+                  colspec if emit_grad else dummy_spec(),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  plane(), plane(), plane(), plane()],
+                  plane(), plane(), plane(), plane(),
+                  g_spec, g_spec],
         out_specs=(plane(), plane(), plane(), plane(),
-                   ph_spec, ph_spec),
+                   g_spec, g_spec, ph_spec, ph_spec),
         out_shape=(jax.ShapeDtypeStruct((n, m), best_absq.dtype),
                    jax.ShapeDtypeStruct((n, m), best_r.dtype),
                    jax.ShapeDtypeStruct((n, m), best_i.dtype),
                    jax.ShapeDtypeStruct((n, m), best_idx.dtype),
+                   jax.ShapeDtypeStruct(g_shape, best_absq.dtype),
+                   jax.ShapeDtypeStruct(g_shape, best_absq.dtype),
                    jax.ShapeDtypeStruct(ph_shape, best_absq.dtype),
                    jax.ShapeDtypeStruct(ph_shape, best_absq.dtype)),
-        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
-        scratch_shapes=[
-            pltpu.VMEM((C * rows, 2 * W1),
-                       jnp.bfloat16 if precision ==
-                       jax.lax.Precision.HIGH else jnp.float32),
-            pltpu.VMEM((C * rows, 2 * W1) if precision ==
-                       jax.lax.Precision.HIGH else (8, 128),
-                       jnp.bfloat16)],
+        input_output_aliases=aliases,
+        scratch_shapes=[t_scr, tlo_scr, tx_scr, txlo_scr],
         # the candidate partials live in VMEM scratch for the whole
         # row block — budget beyond the 16MB default (v5e has 128MB)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
+    )(Sr, Si, S2r, S2i, gx, gy, A0c, A0s, B1r, B1i, B1yr, B1yi,
       jnp.asarray([base_idx], jnp.int32).reshape(1),
-      best_absq, best_r, best_i, best_idx)
+      best_absq, best_r, best_i, best_idx, best_gx, best_gy)
     return out
 
 
 def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
                      precision=jax.lax.Precision.HIGHEST,
-                     max_chunk=48, interpret=False, emit_dr=None):
+                     max_chunk=48, interpret=False, emit_dr=None,
+                     grad_ops=None):
     """Whole-sweep driver: splits the P candidates into VMEM-sized
     chunks (unrolled Python loop, one pallas_call each — usually one)
-    and returns (best_absq, best_r, best_i, best_idx[, phase, weight]).
+    and returns (best_absq, best_r, best_i, best_idx
+    [, grad_x, grad_y][, phase, weight]).
 
     emit_dr = (dr,) emits the winner's phase and the rim-masked weight
     directly from the kernel (only meaningful results on the LAST
-    chunk; with one chunk — the production case — always valid)."""
+    chunk; with one chunk — the production case — always valid).
+
+    grad_ops = (S2r, S2i, A1yc, A1ys) enables analytic winner
+    phase-gradient emission: S2 = (2 pi i f0) * S (the pre-scaled
+    row-derivative window) and A1y = (2 pi i f1) * A1 (the
+    column-derivative basis). The kernel then also returns the
+    per-pixel gradient of -angle(M_winner) along rows and columns —
+    the wfr2_grad_opt quantities (cuGPA.py:41-87) — computed only for
+    winning candidates, with exact cross-chunk carry."""
     P = gx.shape[0]
     n = A0c.shape[0]
     m = A1c.shape[0]
@@ -346,17 +462,32 @@ def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
     best_r = jnp.zeros((n, m), rdt)
     best_i = jnp.zeros((n, m), rdt)
     best_idx = jnp.zeros((n, m), jnp.int32)
+    gkw = {}
+    if grad_ops is not None:
+        S2r, S2i, A1yc, A1ys = grad_ops
+        gkw = dict(S2r=S2r, S2i=S2i,
+                   B1yr=jnp.concatenate([A1yc, -A1ys], axis=1),
+                   B1yi=jnp.concatenate([A1ys, A1yc], axis=1),
+                   best_gx=jnp.zeros((n, m), rdt),
+                   best_gy=jnp.zeros((n, m), rdt))
     ph = w = None
     for s in range(0, P, max_chunk):
         e = min(s + max_chunk, P)
         last = e >= P
         ed = ((int(emit_dr[0]), n, m)
               if (emit_dr is not None and last) else None)
-        best_absq, best_r, best_i, best_idx, ph, w = \
+        best_absq, best_r, best_i, best_idx, bgx, bgy, ph, w = \
             fused_zoom_sweep_chunk(
                 Sr, Si, gx[s:e], gy[s:e], A0c, A0s, B1r, B1i, s,
                 best_absq, best_r, best_i, best_idx, n=n, m=m,
-                precision=precision, interpret=interpret, emit_dr=ed)
+                precision=precision, interpret=interpret, emit_dr=ed,
+                **gkw)
+        if grad_ops is not None:
+            gkw["best_gx"] = bgx
+            gkw["best_gy"] = bgy
+    out = [best_absq, best_r, best_i, best_idx]
+    if grad_ops is not None:
+        out += [gkw["best_gx"], gkw["best_gy"]]
     if emit_dr is not None:
-        return best_absq, best_r, best_i, best_idx, ph, w
-    return best_absq, best_r, best_i, best_idx
+        out += [ph, w]
+    return tuple(out)

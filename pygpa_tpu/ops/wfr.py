@@ -254,19 +254,38 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
     s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
     hi = _ZOOM_PRECISION
 
-    use_fused = (_use_pallas_sweep() and not with_grad
-                 and rdt == jnp.float32
+    use_fused = (_use_pallas_sweep() and rdt == jnp.float32
                  and n % 128 == 0 and m % 128 == 0)
     if use_fused:
         from .pallas_sweep import fused_zoom_sweep
         wreal = wlist.astype(rdt)         # no sentinel padding needed
         gx = jnp.exp(-s2 * (f0[None, :] + wreal[:, 0:1]) ** 2)
         gy = jnp.exp(-s2 * (f1[None, :] + wreal[:, 1:2]) ** 2)
-        best_absq, best_r, best_i, best_idx = fused_zoom_sweep(
+        gkw = {}
+        if with_grad:
+            # analytic winner phase gradient from the kernel: the
+            # row-derivative window S2 = (2 pi i f0) * S and the
+            # column-derivative basis A1y = (2 pi i f1) * A1 give
+            # dM/d(row), dM/d(col) of the band-limited interpolant —
+            # the continuous counterpart of the reference's
+            # np.gradient of the per-candidate phase
+            # (geometric_phase_analysis.py:793-812); they agree to
+            # O(h^2 phi''') on the smooth demodulated phase.
+            tpf0 = (2 * jnp.pi) * f0
+            tpf1 = (2 * jnp.pi) * f1
+            gkw = dict(grad_ops=(
+                -tpf0[:, None] * Si * scale,
+                tpf0[:, None] * Sr * scale,
+                -A1s * tpf1[None, :],
+                A1c * tpf1[None, :]))
+        out = fused_zoom_sweep(
             Sr * scale, Si * scale, gx, gy, A0c, A0s, A1c, A1s,
-            precision=hi)
+            precision=hi, **gkw)
+        best_absq, best_r, best_i, best_idx = out[:4]
+        best_grad = (jnp.stack([out[4], out[5]], axis=-1) if with_grad
+                     else jnp.zeros((0,), rdt))
         return (best_absq, jax.lax.complex(best_r, best_i), best_idx,
-                jnp.zeros((0,), rdt))
+                best_grad)
 
     def mm(a, b):
         return jnp.einsum("rw,cwv->crv", a, b, precision=hi)
@@ -345,6 +364,13 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
     (weight = sqrt(absq) * (interior mask + 1e-6), the rim mask of
     extract_displacement_field, geometric_phase_analysis.py:923-926).
     Kernel-emitted on the fused TPU path; XLA elsewhere."""
+    if int(dr) < 1:
+        # at dr=0 the reference's .at[0:-0, 0:-0] rim is an EMPTY slice
+        # (weight floor everywhere) while the kernel's interior test is
+        # all-true — refuse the backend-dependent case outright; the
+        # pipeline always passes dr = 2*sigma >= 2.
+        raise ValueError("wfr_sweep_phase_weight requires dr >= 1 "
+                         f"(got {dr})")
     if spectrum is None:
         image = jnp.asarray(image)
         spectrum = jnp.fft.fft2(image)

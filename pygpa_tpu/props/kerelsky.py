@@ -142,6 +142,16 @@ def _fit_jac(est, JacA0):
     return _multistart(lambda x: Jac_fit_diff(x, JacA0), est)
 
 
+@jax.jit
+def _fit_jac_bank(ests, JacA0):
+    """The whole restart bank as ONE device program: every est runs its
+    full 6-start _multistart under a vmap over the bank (36 LM solves
+    in a single dispatch instead of up to 5 sequential host
+    round-trips)."""
+    return jax.vmap(
+        lambda e: _multistart(lambda x: Jac_fit_diff(x, JacA0), e))(ests)
+
+
 # ------------------------------------------------------------ public API
 
 def Kerelsky(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0):
@@ -238,7 +248,11 @@ def Kerelsky_Jac(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
         # (property_extract.py:764-767) plus interior-epsilon starts —
         # the box-projected LM can stick at the epsilon=0 boundary
         # (where psi is unidentifiable) where scipy's reflective TRF
-        # escapes; starting strictly inside restores that behavior
+        # escapes; starting strictly inside restores that behavior.
+        # All nudged starts run in ONE vmapped dispatch; the winner is
+        # then chosen host-side in the reference's sequential order
+        # (first start reaching the zero-cost gate wins).
+        ests = []
         for nudge in ((None, 90.0), (1e-3, None), (1e-3, 45.0),
                       (1e-3, -45.0), (1e-3, 90.0)):
             est2 = est.copy()
@@ -246,7 +260,11 @@ def Kerelsky_Jac(kvecs, nmperpixel=1.0, a_0=DEFAULTS.a_0, reference=None,
                 est2[2] = nudge[0]
             if nudge[1] is not None:
                 est2[1] = nudge[1]
-            x2, c2 = _fit_jac(jnp.asarray(est2), J)
+            ests.append(est2)
+        xs, cs = _fit_jac_bank(jnp.asarray(np.stack(ests)), J)
+        xs = np.asarray(xs)
+        cs = np.asarray(cs)
+        for x2, c2 in zip(xs, cs):
             if c2 < c:
                 x, c = x2, c2
             if c <= 1e-20:

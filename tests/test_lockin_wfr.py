@@ -193,3 +193,56 @@ def test_fused_sweep_phase_weight_emission():
     w_ref = np.sqrt(np.maximum(np.array(oa), 0.0)) * mask
     assert np.allclose(np.array(ph), ph_ref, atol=1e-5)
     assert np.allclose(np.array(w), w_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_zoom_sweep_grad_matches_einsum():
+    """Kernel-emitted analytic winner gradients (grad_ops path) match
+    the einsum formulation, including the multi-chunk gradient carry
+    (interpret mode on CPU)."""
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
+    rng = np.random.default_rng(7)
+    P, W0, W1, n, m = 5, 64, 64, 256, 384
+
+    def mk(*shape):
+        return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    Sr, Si = mk(W0, W1), mk(W0, W1)
+    S2r, S2i = mk(W0, W1), mk(W0, W1)
+    gx = jnp.asarray(rng.uniform(0.2, 1, size=(P, W0)), jnp.float32)
+    gy = jnp.asarray(rng.uniform(0.2, 1, size=(P, W1)), jnp.float32)
+    A0c, A0s = mk(n, W0), mk(n, W0)
+    A1c, A1s = mk(m, W1), mk(m, W1)
+    A1yc, A1ys = mk(m, W1), mk(m, W1)
+    oa, orr, oi, ox, ogx, ogy = fused_zoom_sweep(
+        Sr, Si, gx, gy, A0c, A0s, A1c, A1s, max_chunk=3,
+        interpret=True, grad_ops=(S2r, S2i, A1yc, A1ys))
+
+    ra = np.zeros((n, m), np.float32)
+    rgx = np.zeros((n, m), np.float64)
+    rgy = np.zeros((n, m), np.float64)
+    rx = np.zeros((n, m), np.int32)
+    A0 = np.array(A0c, np.float64) + 1j * np.array(A0s)
+    A1 = np.array(A1c, np.float64) + 1j * np.array(A1s)
+    A1y = np.array(A1yc, np.float64) + 1j * np.array(A1ys)
+    S = np.array(Sr, np.float64) + 1j * np.array(Si)
+    S2 = np.array(S2r, np.float64) + 1j * np.array(S2i)
+    for i in range(P):
+        g = np.array(gx[i], np.float64)[:, None] * np.array(gy[i])
+        M = A0 @ (g * S) @ A1.T
+        Mx = A0 @ (g * S2) @ A1.T
+        My = A0 @ (g * S) @ A1y.T
+        absq = (M.real ** 2 + M.imag ** 2)
+        ggx = (M.imag * Mx.real - M.real * Mx.imag) / absq
+        ggy = (M.imag * My.real - M.real * My.imag) / absq
+        t = absq > ra
+        ra = np.where(t, absq, ra)
+        rgx = np.where(t, ggx, rgx)
+        rgy = np.where(t, ggy, rgy)
+        rx = np.where(t, i, rx)
+    same = np.array(ox) == rx
+    assert same.mean() > 0.999
+    # gradients are ratios of O(1e3) quantities; f32 kernel vs f64
+    # oracle leaves ~1e-4 relative error
+    sc = np.abs(rgx[same]).mean()
+    assert np.allclose(np.array(ogx)[same], rgx[same], atol=3e-3 * sc)
+    assert np.allclose(np.array(ogy)[same], rgy[same], atol=3e-3 * sc)
