@@ -132,7 +132,7 @@ def _wfr_sweep_sequential(spectrum, wlist, sigma, with_grad, dk):
     wl = wlist.astype(rdt)
 
     def body(carry, xs):
-        best_absq, best_lockin, best_w, best_idx = carry
+        best_absq, best_lockin, best_w, best_idx, best_grad = carry
         w, idx = xs
         gx, gy = _shifted_gaussians((n, m), w[None], sigma, rdt)
         G = gx[0, :, None] * gy[0, None, :]
@@ -147,14 +147,110 @@ def _wfr_sweep_sequential(spectrum, wlist, sigma, with_grad, dk):
         best_lockin = jnp.where(t, Mw, best_lockin)
         best_w = jnp.where(t[..., None], w, best_w)
         best_idx = jnp.where(t, idx.astype(jnp.int32), best_idx)
-        return (best_absq, best_lockin, best_w, best_idx), None
+        if with_grad:
+            ph = -jnp.arctan2(Mw.imag, Mw.real)
+            ggx, ggy = _np_gradient_2d(ph)
+            gi = jnp.stack([ggx, ggy], axis=-1)
+            best_grad = jnp.where(t[..., None], gi, best_grad)
+        return (best_absq, best_lockin, best_w, best_idx,
+                best_grad), None
 
     init_w = jnp.broadcast_to(wl[0], (n, m, 2))
     init = (jnp.zeros((n, m), rdt), jnp.zeros((n, m), spectrum.dtype),
-            init_w, jnp.zeros((n, m), jnp.int32))
-    (best_absq, best_lockin, best_w, best_idx), _ = jax.lax.scan(
-        body, init, (wl, jnp.arange(wl.shape[0])))
-    return best_absq, best_lockin, best_w, best_idx
+            init_w, jnp.zeros((n, m), jnp.int32),
+            jnp.zeros((n, m, 2), rdt) if with_grad
+            else jnp.zeros((0,), rdt))
+    (best_absq, best_lockin, best_w, best_idx, best_grad), _ = \
+        jax.lax.scan(body, init, (wl, jnp.arange(wl.shape[0])))
+    return best_absq, best_lockin, best_w, best_idx, best_grad
+
+
+@partial(jax.jit, static_argnames=("sigma", "with_grad", "dk"))
+def _wfr_sweep_sequential_zoom(spectrum, wlist, idx0, idx1, sigma,
+                               with_grad, dk):
+    """Band-limited (zoom matmul) form of the wfr4 continuity sweep:
+    per candidate the full-resolution demodulated lock-in comes from
+    two skinny DFT matmuls on the cropped spectrum window instead of a
+    full-size inverse FFT (the sequential continuity gate forces a
+    per-candidate scan, but each step is MXU work). The continuity
+    update semantics are identical to _wfr_sweep_sequential; grads are
+    analytic derivatives of the band-limited interpolant (see
+    pallas_sweep.fused_zoom_sweep grad_ops)."""
+    n, m = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    wl = wlist.astype(rdt)
+    S = jnp.take(jnp.take(spectrum, idx0, axis=0), idx1, axis=1)
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    Sr, Si = S.real * scale, S.imag * scale
+    A0c, A0s = _zoom_basis(n, idx0, rdt)
+    A1c, A1s = _zoom_basis(m, idx1, rdt)
+    f0 = jnp.where(idx0 < n // 2 + n % 2, idx0, idx0 - n).astype(rdt) / n
+    f1 = jnp.where(idx1 < m // 2 + m % 2, idx1, idx1 - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    hi = _ZOOM_PRECISION
+    if with_grad:
+        tpf0 = (2 * jnp.pi) * f0
+        tpf1 = (2 * jnp.pi) * f1
+        S2r = -tpf0[:, None] * Si
+        S2i = tpf0[:, None] * Sr
+        A1yc = -A1s * tpf1[None, :]
+        A1ys = A1c * tpf1[None, :]
+
+    def mm(a, b):
+        return jnp.einsum("rw,wv->rv", a, b, precision=hi)
+
+    def mmT(a, b):
+        return jnp.einsum("rv,sv->rs", a, b, precision=hi)
+
+    def stage(gx, gy, xr, xi):
+        Swr = gx[:, None] * xr * gy[None, :]
+        Swi = gx[:, None] * xi * gy[None, :]
+        Tr = mm(A0c, Swr) - mm(A0s, Swi)
+        Ti = mm(A0c, Swi) + mm(A0s, Swr)
+        return Tr, Ti
+
+    def body(carry, xs):
+        best_absq, best_r, best_i, best_w, best_idx, best_grad = carry
+        w, idx = xs
+        gx = jnp.exp(-s2 * (f0 + w[0]) ** 2)
+        gy = jnp.exp(-s2 * (f1 + w[1]) ** 2)
+        Tr, Ti = stage(gx, gy, Sr, Si)
+        Mr = mmT(Tr, A1c) - mmT(Ti, A1s)
+        Mi = mmT(Tr, A1s) + mmT(Ti, A1c)
+        absq = Mr * Mr + Mi * Mi
+        t = absq > best_absq
+        if dk is not None:
+            dist2 = ((best_w[..., 0] - w[0]) ** 2
+                     + (best_w[..., 1] - w[1]) ** 2)
+            t = t & (dist2 < 8.0 * dk * dk)
+        best_absq = jnp.where(t, absq, best_absq)
+        best_r = jnp.where(t, Mr, best_r)
+        best_i = jnp.where(t, Mi, best_i)
+        best_w = jnp.where(t[..., None], w, best_w)
+        best_idx = jnp.where(t, idx.astype(jnp.int32), best_idx)
+        if with_grad:
+            Txr, Txi = stage(gx, gy, S2r, S2i)
+            Mxr = mmT(Txr, A1c) - mmT(Txi, A1s)
+            Mxi = mmT(Txr, A1s) + mmT(Txi, A1c)
+            Myr = mmT(Tr, A1yc) - mmT(Ti, A1ys)
+            Myi = mmT(Tr, A1ys) + mmT(Ti, A1yc)
+            den = jnp.maximum(absq, jnp.asarray(1e-30, rdt))
+            gi = jnp.stack([(Mi * Mxr - Mr * Mxi) / den,
+                            (Mi * Myr - Mr * Myi) / den], axis=-1)
+            best_grad = jnp.where(t[..., None], gi, best_grad)
+        return (best_absq, best_r, best_i, best_w, best_idx,
+                best_grad), None
+
+    init_w = jnp.broadcast_to(wl[0], (n, m, 2))
+    init = (jnp.zeros((n, m), rdt), jnp.zeros((n, m), rdt),
+            jnp.zeros((n, m), rdt), init_w,
+            jnp.zeros((n, m), jnp.int32),
+            jnp.zeros((n, m, 2), rdt) if with_grad
+            else jnp.zeros((0,), rdt))
+    (best_absq, best_r, best_i, best_w, best_idx, best_grad), _ = \
+        jax.lax.scan(body, init, (wl, jnp.arange(wl.shape[0])))
+    return (best_absq, jax.lax.complex(best_r, best_i), best_w,
+            best_idx, best_grad)
 
 
 # Matmul precision of the zoom sweep's DFT contractions. HIGH =
@@ -438,8 +534,19 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
     rdt = jnp.zeros((), spectrum.real.dtype).dtype
 
     if continuity_dk is not None:
-        best_absq, best_lockin, best_w, _ = _wfr_sweep_sequential(
-            spectrum, wlist, float(sigma), with_grad, float(continuity_dk))
+        plan = (_plan_zoom(shape, np.asarray(wlist_in), float(sigma))
+                if (wlist_concrete and zoom is not False) else None)
+        if plan is not None:
+            best_absq, best_lockin, best_w, _, best_grad = \
+                _wfr_sweep_sequential_zoom(
+                    spectrum, wlist, jnp.asarray(plan[0]),
+                    jnp.asarray(plan[1]), float(sigma), with_grad,
+                    float(continuity_dk))
+        else:
+            best_absq, best_lockin, best_w, _, best_grad = \
+                _wfr_sweep_sequential(
+                    spectrum, wlist, float(sigma), with_grad,
+                    float(continuity_dk))
         w_field = best_w
     else:
         # zoom tri-state: "auto" plans the band-limited matmul sweep
@@ -524,9 +631,6 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
     if w_field is not None:
         out["w"] = jnp.moveaxis(w_field, -1, 0)
     if with_grad:
-        if continuity_dk is not None:
-            raise NotImplementedError(
-                "grad output not supported with continuity constraint")
         g = best_grad - 2 * jnp.pi * kref.astype(rdt)
         out["grad"] = wrap_to_pi(2.0 * g) / 2.0
     return out

@@ -21,3 +21,8 @@ from .sharded import (  # noqa: F401
 from .fft import (  # noqa: F401
     fft2_sharded, ifft2_sharded, wfr_sweep_spatial,
 )
+from .unwrap import (  # noqa: F401
+    dct2n_sharded, idct2n_sharded, phase_unwrap_prediff_sharded,
+    reconstruct_u_inv_from_demod_sharded,
+    extract_displacement_field_sharded,
+)

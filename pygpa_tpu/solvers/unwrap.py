@@ -59,8 +59,8 @@ def _apply_q(p, WWx, WWy):
     return WWdx2 + WWdy2
 
 
-@partial(jax.jit, static_argnames=("kmax", "precision"))
-def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None):
+@partial(jax.jit, static_argnames=("kmax", "precision", "precond"))
+def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None):
     """PCG loop shared by phase_unwrap and phase_unwrap_prediff
     (phase_unwrap.py:183-207,326-349). `precision` scopes the MXU
     DCT matmul precision of the preconditioner (the CG outer products
@@ -68,16 +68,24 @@ def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None):
     have to be exact for CG to converge — its error only modulates the
     convergence rate — so the default is HIGH (bf16x3, ~1e-7 operand
     error) for ~2x MXU throughput of the transform-bound solve. Pass
-    HIGHEST for bit-level reproduction of the float32-exact path."""
+    HIGHEST for bit-level reproduction of the float32-exact path.
+
+    `precond` overrides the unweighted-Poisson DCT preconditioner
+    (a callable rk -> zk, hashable/static) — used by the row-sharded
+    distributed solver (parallel/unwrap.py) to substitute the pencil
+    all_to_all DCT."""
     if precision is None:
         precision = jax.lax.Precision.HIGH
     with mxu_fft_precision(precision):
-        return _cg_unwrap_body(rk0, WWx, WWy, kmax)
+        return _cg_unwrap_body(rk0, WWx, WWy, kmax, precond)
 
 
-def _cg_unwrap_body(rk0, WWx, WWy, kmax):
+def _cg_unwrap_body(rk0, WWx, WWy, kmax, precond=None):
     dt = rk0.dtype
     scale = _poisson_scale(rk0.shape[-2:], dt)
+    if precond is None:
+        def precond(rk):
+            return idct2n(dct2n(rk) / scale)
     # the reference's 1e-9 relative residual is unreachable in float32;
     # stop at a dtype-meaningful tolerance instead (f64 keeps 1e-9)
     eps = jnp.asarray(1e-9 if dt == jnp.float64 else 1e-6, dt)
@@ -89,7 +97,7 @@ def _cg_unwrap_body(rk0, WWx, WWy, kmax):
 
     def body(state):
         phi, rk, pk, rzprev, k, done = state
-        zk = idct2n(dct2n(rk) / scale)
+        zk = precond(rk)
         rz = jnp.vdot(rk, zk).real.astype(dt)
         # guarded Fletcher-Reeves / step coefficients: at (near-)exact
         # convergence rz and <p, Qp> underflow to 0 in f32; 0/0 would
@@ -208,7 +216,7 @@ def _sep2(a, left, right, precision=jax.lax.Precision.HIGH):
 def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                             refine_iters=3,
                             precision=jax.lax.Precision.HIGH,
-                            schedule=None):
+                            schedule=None, precond_factory=None):
     """Multigrid-accelerated gradient integration: solve the weighted
     Poisson problem on a coarse grid (GPA displacement gradients are
     band-limited by the sigma-wide lock-in window), then walk a
@@ -267,9 +275,11 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
     for c, iters in schedule:
         dxc, dyc, wc = level_data(int(c))
         nc, mc = n // int(c), m // int(c)
+        pre = precond_factory((nc, mc)) if precond_factory else None
         if phi is None:
             rk, WWx, WWy = _residual(dxc, dyc, wc)
-            phi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision)
+            phi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision,
+                                pre)
             continue
         phi = upsample(phi, nc, mc)
         # residual gradients are small and unwrapped by construction
@@ -277,7 +287,8 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
         rdy = dyc - jnp.diff(phi, axis=-2)
         if iters > 0:
             rk, WWx, WWy = _residual(rdx, rdy, wc)
-            dphi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision)
+            dphi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision,
+                                 pre)
             phi = phi + dphi
     if int(schedule[-1][0]) != 1:
         phi = upsample(phi, n, m)

@@ -246,3 +246,33 @@ def test_fused_zoom_sweep_grad_matches_einsum():
     sc = np.abs(rgx[same]).mean()
     assert np.allclose(np.array(ogx)[same], rgx[same], atol=3e-3 * sc)
     assert np.allclose(np.array(ogy)[same], rgy[same], atol=3e-3 * sc)
+
+
+def test_wfr4_zoom_matches_full_fft(small_lattice):
+    """The band-limited (zoom matmul) continuity sweep equals the
+    full-FFT sequential path — lockin, winning w, and the analytic
+    grads are consistent with the discrete ones in the interior."""
+    img, ks = small_lattice
+    k = ks[0]
+    klists = gpa.generate_klists(ks, dk=0.01)
+    klist = np.asarray(klists[0][:40])
+    sigma = 10
+    from pygpa_tpu.ops.wfr import _plan_zoom
+    assert _plan_zoom(img.shape, klist, float(sigma)) is not None
+    gz = wfr_sweep(jnp.asarray(img), klist, k, sigma,
+                   continuity_dk=0.01, with_grad=True)
+    gf = wfr_sweep(jnp.asarray(img), klist, k, sigma,
+                   continuity_dk=0.01, with_grad=True, zoom=False)
+    m = 5 * sigma
+    sl = np.s_[m:-m, m:-m]
+    same = (np.asarray(gz["w"])[:, m:-m, m:-m]
+            == np.asarray(gf["w"])[:, m:-m, m:-m]).all(axis=0)
+    assert same.mean() > 0.999
+    lz = np.asarray(gz["lockin"])[sl][same]
+    lf = np.asarray(gf["lockin"])[sl][same]
+    assert np.allclose(lz, lf, atol=1e-6)
+    # analytic vs np.gradient grads agree to the discretization error
+    # of the central difference on the smooth demodulated phase
+    dgrad = np.abs(np.asarray(gz["grad"])[sl][same]
+                   - np.asarray(gf["grad"])[sl][same])
+    assert np.quantile(dgrad, 0.99) < 5e-3
