@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..config import DEFAULTS
 from ..core import interp
 from ..core.fourier import fourier_gaussian_multiplier, wiener_deconvolve
-from ..ops.wfr import wfr_sweep, wfr_sweep_phase_weight
+from ..ops.wfr import (wfr_sweep, wfr_sweep_phase_weight,
+                       wfr_sweep_phase_weight_multi)
 from .reconstruct import (reconstruct_u_inv_from_phases,
                           reconstruct_u_inv_from_demod)
 
@@ -201,22 +202,19 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
     kv = jnp.asarray(kvecs_h, dtype)
     dr = 2 * sig
 
+    wlists_h = [np.asarray(w) for w in wlists]
+
     @jax.jit
     def run(image):
         image = image.astype(dtype)
         img0 = image - image.mean()
         with jax.named_scope("gpa.spectrum"):
             spectrum = jnp.fft.fft2(img0)
-        phs, wts = [], []
-        for i in range(len(wlists)):
-            with jax.named_scope(f"gpa.wfr_sweep_{i}"):
-                ph, w = wfr_sweep_phase_weight(
-                    img0, np.asarray(wlists[i]), kv[i], sig, dr,
-                    spectrum=spectrum, chunk=chunk)
-            phs.append(ph)
-            wts.append(w)
-        phases_demod = jnp.stack(phs)
-        weights = jnp.stack(wts)
+        with jax.named_scope("gpa.wfr_sweeps"):
+            # all Bragg peaks in one grouped kernel launch on the
+            # fused TPU path; per-peak sweeps elsewhere
+            phases_demod, weights = wfr_sweep_phase_weight_multi(
+                img0, wlists_h, sig, dr, spectrum=spectrum)
         with jax.named_scope("gpa.reconstruct"):
             u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
                                              kmax=unwrap_kmax,

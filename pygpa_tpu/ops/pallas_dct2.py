@@ -104,28 +104,36 @@ def _dots(precision, sublane=False):
 
 # ------------------------------------------------------------- lane axis
 
-def _fwd_lane_kernel(x_ref, uc, us, vc, vs, wc, ws, o_ref, *,
-                     precision, inverse):
+def _lane_math(x, consts, inverse, precision):
+    """Pure-array lane-axis DCT math on an (R, q, 128) view (flat
+    (R, n)); shared by the standalone kernels and the fused Poisson
+    kernel (ops/pallas_poisson.py)."""
+    uc, us, vc, vs, wc, ws = consts
     ein = _dots(precision)
-    x = x_ref[:]                       # (R, q, 128) = flat (R, n)
     if not inverse:
         # G[k1, j1] = sum_j2 W[k1, j2] x[j2, j1]
-        gr = ein("kj,rjl->rkl", wc[:], x)
-        gi = ein("kj,rjl->rkl", ws[:], x)
-        hr = vc[:] * gr - vs[:] * gi   # (R, 128 k1, 128 j1)
-        hi = vs[:] * gr + vc[:] * gi
+        gr = ein("kj,rjl->rkl", wc, x)
+        gi = ein("kj,rjl->rkl", ws, x)
+        hr = vc * gr - vs * gi         # (R, 128 k1, 128 j1)
+        hi = vs * gr + vc * gi
         # X[k2, k1] = 2 Re sum_j1 U[k2, j1] H[k1, j1]
-        o_ref[:] = 2.0 * (ein("qj,rkj->rqk", uc[:], hr)
-                          - ein("qj,rkj->rqk", us[:], hi))
-    else:
-        # P[k1, j1] = sum_k2 y[k2, k1] U[k2, j1]   (y real)
-        pr = ein("rjk,jl->rkl", x, uc[:])
-        pi = ein("rjk,jl->rkl", x, us[:])
-        # x[j2, j1] = Re[ 2 sum_k1 W[k1, j2] (V P)[k1, j1] ]
-        hr = vc[:] * pr - vs[:] * pi
-        hi = vs[:] * pr + vc[:] * pi
-        o_ref[:] = 2.0 * (ein("km,rkl->rml", wc[:], hr)
-                          - ein("km,rkl->rml", ws[:], hi))
+        return 2.0 * (ein("qj,rkj->rqk", uc, hr)
+                      - ein("qj,rkj->rqk", us, hi))
+    # P[k1, j1] = sum_k2 y[k2, k1] U[k2, j1]   (y real)
+    pr = ein("rjk,jl->rkl", x, uc)
+    pi = ein("rjk,jl->rkl", x, us)
+    # x[j2, j1] = Re[ 2 sum_k1 W[k1, j2] (V P)[k1, j1] ]
+    hr = vc * pr - vs * pi
+    hi = vs * pr + vc * pi
+    return 2.0 * (ein("km,rkl->rml", wc, hr)
+                  - ein("km,rkl->rml", ws, hi))
+
+
+def _fwd_lane_kernel(x_ref, uc, us, vc, vs, wc, ws, o_ref, *,
+                     precision, inverse):
+    o_ref[:] = _lane_math(x_ref[:],
+                          (uc[:], us[:], vc[:], vs[:], wc[:], ws[:]),
+                          inverse, precision)
 
 
 @partial(jax.jit, static_argnames=("inverse", "precision", "interpret"))
@@ -184,28 +192,35 @@ def idct_lane(y, precision=jax.lax.Precision.HIGHEST, interpret=None):
 
 # ---------------------------------------------------------- sublane axis
 
-def _fwd_sub_kernel(x_ref, uc, us, vc, vs, wc, ws, o_ref, *,
-                    precision, inverse):
+def _sub_math(x, consts, inverse, precision):
+    """Pure-array sublane-axis DCT math on a (q, 128, m) view (flat
+    (n, m)); shared with the fused Poisson kernel."""
+    uc, us, vc, vs, wc, ws = consts
     ein = _dots(precision, sublane=True)
-    x = x_ref[0]                       # (q, 128, m) = flat (n, m)
     if not inverse:
         # T[k1, j1, m] = sum_j2 W[k1, j2] x[j2, j1, m]
-        tr = ein("kj,jlm->klm", wc[:], x)
-        ti = ein("kj,jlm->klm", ws[:], x)
-        hr = vc[:][:, :, None] * tr - vs[:][:, :, None] * ti
-        hi = vs[:][:, :, None] * tr + vc[:][:, :, None] * ti
+        tr = ein("kj,jlm->klm", wc, x)
+        ti = ein("kj,jlm->klm", ws, x)
+        hr = vc[:, :, None] * tr - vs[:, :, None] * ti
+        hi = vs[:, :, None] * tr + vc[:, :, None] * ti
         # X[k2, k1, m] = 2 Re sum_j1 U[k2, j1] H[k1, j1, m]
-        o_ref[0] = 2.0 * (ein("qj,kjm->qkm", uc[:], hr)
-                          - ein("qj,kjm->qkm", us[:], hi))
-    else:
-        # P[k1, j1, m] = sum_k2 y[k2, k1, m] U[k2, j1]
-        pr = ein("jkm,jl->klm", x, uc[:])
-        pi = ein("jkm,jl->klm", x, us[:])
-        hr = vc[:][:, :, None] * pr - vs[:][:, :, None] * pi
-        hi = vs[:][:, :, None] * pr + vc[:][:, :, None] * pi
-        # x[j2, j1, m] = Re[ 2 sum_k1 W[k1, j2] H[k1, j1, m] ]
-        o_ref[0] = 2.0 * (ein("kj,klm->jlm", wc[:], hr)
-                          - ein("kj,klm->jlm", ws[:], hi))
+        return 2.0 * (ein("qj,kjm->qkm", uc, hr)
+                      - ein("qj,kjm->qkm", us, hi))
+    # P[k1, j1, m] = sum_k2 y[k2, k1, m] U[k2, j1]
+    pr = ein("jkm,jl->klm", x, uc)
+    pi = ein("jkm,jl->klm", x, us)
+    hr = vc[:, :, None] * pr - vs[:, :, None] * pi
+    hi = vs[:, :, None] * pr + vc[:, :, None] * pi
+    # x[j2, j1, m] = Re[ 2 sum_k1 W[k1, j2] H[k1, j1, m] ]
+    return 2.0 * (ein("kj,klm->jlm", wc, hr)
+                  - ein("kj,klm->jlm", ws, hi))
+
+
+def _fwd_sub_kernel(x_ref, uc, us, vc, vs, wc, ws, o_ref, *,
+                    precision, inverse):
+    o_ref[0] = _sub_math(x_ref[0],
+                         (uc[:], us[:], vc[:], vs[:], wc[:], ws[:]),
+                         inverse, precision)
 
 
 @partial(jax.jit, static_argnames=("inverse", "precision", "interpret"))

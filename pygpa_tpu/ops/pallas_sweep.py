@@ -322,6 +322,177 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
     w_ref[:] = jnp.sqrt(jnp.maximum(oa_ref[:], 0.0)) * mask
 
 
+def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
+                    b1r_ref, b1i_ref, ph_ref, w_ref,
+                    t_ref, tlo_ref, oa_ref, or_ref, oi_ref, *,
+                    precision, emit_dr):
+    """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
+    the per-peak winner phase and rim-masked weight planes, exactly
+    what make_displacement_extractor consumes). Single-chunk: the
+    tournament completes inside each block, so no carry planes cross
+    the launch at all. Group g's candidates contract against group g's
+    spectrum window and bases; sharing the launch amortizes the grid
+    and lets group g+1's MXU dots overlap group g's VPU tournament."""
+    G, P, W0 = gx_ref.shape
+    R = a0c_ref.shape[1]
+    W1 = sr_ref.shape[2]
+    high = precision == jax.lax.Precision.HIGH
+    dot = _dot_maker(precision)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _stage1():
+        for g in range(G):
+            sr = sr_ref[g]
+            si = si_ref[g]
+            a0c = a0c_ref[g]
+            a0s = a0s_ref[g]
+            for i in range(P):
+                gg = gx_ref[g, i][:, None] * gy_ref[g, i][None, :]
+                swr = gg * sr
+                swi = gg * si
+                tr = dot(a0c, swr, _D01) - dot(a0s, swi, _D01)
+                ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
+                s = (g * P + i) * R
+                if high:
+                    rhi, rlo = _split_bf16(tr)
+                    ihi, ilo = _split_bf16(ti)
+                    t_ref[s:s + R, :W1] = rhi
+                    t_ref[s:s + R, W1:] = ihi
+                    tlo_ref[s:s + R, :W1] = rlo
+                    tlo_ref[s:s + R, W1:] = ilo
+                else:
+                    t_ref[s:s + R, :W1] = tr
+                    t_ref[s:s + R, W1:] = ti
+
+    for g in range(G):
+        t = t_ref[g * P * R:(g + 1) * P * R]
+        if high:
+            def raw(a, b):
+                return jax.lax.dot_general(
+                    a, b, _D11, precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+
+            tlo = tlo_ref[g * P * R:(g + 1) * P * R]
+            b1r_hi, b1r_lo = _split_bf16(b1r_ref[g])
+            b1i_hi, b1i_lo = _split_bf16(b1i_ref[g])
+            mall_r = raw(t, b1r_hi)
+            mall_i = raw(t, b1i_hi)
+            mr0 = mall_r[:R]
+            mi0 = mall_i[:R]
+            la = mr0 * mr0 + mi0 * mi0
+            lx = jnp.zeros(la.shape, jnp.int32)
+            for i in range(1, P):
+                mr = mall_r[i * R:(i + 1) * R]
+                mi = mall_i[i * R:(i + 1) * R]
+                absq = mr * mr + mi * mi
+                sel = absq > la
+                la = jnp.where(sel, absq, la)
+                lx = jnp.where(sel, i, lx)
+            for i in range(P):
+                sel = lx == i
+
+                @pl.when(jnp.any(sel))
+                def _recompute(i=i, sel=sel):
+                    sl = slice(i * R, (i + 1) * R)
+                    mr = (raw(t[sl], b1r_hi) + raw(t[sl], b1r_lo)
+                          + raw(tlo[sl], b1r_hi))
+                    mi = (raw(t[sl], b1i_hi) + raw(t[sl], b1i_lo)
+                          + raw(tlo[sl], b1i_hi))
+                    oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
+                                          oa_ref[:])
+                    or_ref[:] = jnp.where(sel, mr, or_ref[:])
+                    oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+            oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
+        else:
+            mall_r = dot(t, b1r_ref[g], _D11)
+            mall_i = dot(t, b1i_ref[g], _D11)
+            oa = mall_r[:R] * mall_r[:R] + mall_i[:R] * mall_i[:R]
+            om_r = mall_r[:R]
+            om_i = mall_i[:R]
+            for i in range(1, P):
+                mr = mall_r[i * R:(i + 1) * R]
+                mi = mall_i[i * R:(i + 1) * R]
+                absq = mr * mr + mi * mi
+                sel = absq > oa
+                oa = jnp.where(sel, absq, oa)
+                om_r = jnp.where(sel, mr, om_r)
+                om_i = jnp.where(sel, mi, om_i)
+        dr, n, m = emit_dr
+        R_, Cc = ph_ref.shape[1:]
+        r0 = pl.program_id(0) * R_
+        c0 = pl.program_id(1) * Cc
+        ph_ref[g] = _atan2(om_i, om_r)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (R_, Cc), 0) + r0
+        jj = jax.lax.broadcasted_iota(jnp.int32, (R_, Cc), 1) + c0
+        interior = ((ii >= dr) & (ii < n - dr)
+                    & (jj >= dr) & (jj < m - dr))
+        mask = jnp.where(interior, 1.0 + 1e-6, 1e-6).astype(
+            w_ref.dtype)
+        w_ref[g] = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
+
+
+@partial(jax.jit,
+         static_argnames=("rows", "cols", "precision", "interpret",
+                          "dr"))
+def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
+                             A1ss, *, dr,
+                             precision=jax.lax.Precision.HIGHEST,
+                             rows=None, cols=None, interpret=False):
+    """Multi-peak emit-only sweep driver: G peaks, each with its own
+    (W0, W1) spectrum window, candidate bank and DFT bases, in one
+    pallas launch. Returns (phase (G, n, m), weight (G, n, m)) — the
+    make_displacement_extractor hot path."""
+    G, P, W0 = gxs.shape
+    W1 = Srs.shape[2]
+    n = A0cs.shape[1]
+    m = A1cs.shape[1]
+    rows = rows or max(b for b in (8, 64, 128, _ROWS) if n % b == 0)
+    cols = cols or max(b for b in (128, _COLS) if m % b == 0)
+    grid = (n // rows, m // cols)
+    high = precision == jax.lax.Precision.HIGH
+    B1r = jnp.concatenate([A1cs, -A1ss], axis=2)   # (G, m, 2*W1)
+    B1i = jnp.concatenate([A1ss, A1cs], axis=2)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    gplane = pl.BlockSpec((G, rows, cols), lambda r, c: (0, r, c),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_grouped_kernel, precision=precision,
+                emit_dr=(int(dr), n, m)),
+        grid=grid,
+        in_specs=[const((G, W0, W1)), const((G, W0, W1)),
+                  const((G, P, W0)), const((G, P, W1)),
+                  pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, cols, 2 * W1),
+                               lambda r, c: (0, c, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, cols, 2 * W1),
+                               lambda r, c: (0, c, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(gplane, gplane),
+        out_shape=(jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
+                   jax.ShapeDtypeStruct((G, n, m), Srs.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((G * P * rows, 2 * W1),
+                       jnp.bfloat16 if high else jnp.float32),
+            pltpu.VMEM((G * P * rows, 2 * W1) if high else (8, 128),
+                       jnp.bfloat16),
+            pltpu.VMEM((rows, cols), jnp.float32),
+            pltpu.VMEM((rows, cols), jnp.float32),
+            pltpu.VMEM((rows, cols), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Srs, Sis, gxs, gys, A0cs, A0ss, B1r, B1i)
+    return out
+
+
 @partial(jax.jit,
          static_argnames=("n", "m", "rows", "cols", "precision",
                           "interpret", "emit_dr"))

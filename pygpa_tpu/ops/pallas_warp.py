@@ -58,7 +58,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Output tile (sublanes x lanes) and input window block geometry.
-_TR, _TC = 8, 128          # output tile
+# _TR=32: the per-grid-step overhead dominates the smooth-field warp
+# (measured 2048^2 bilinear: 5.7 ms/warp at _TR=8, 2.1 at _TR=32 —
+# total executed-d gather work is tile-size invariant, the fixed
+# per-tile cost is not); the 96-row window still admits |grad u| ~ 1.
+_TR, _TC = 32, 128         # output tile
 _WR, _WC = 32, 128         # input window block
 _NB = 3                    # row blocks per window
 _NC = 3                    # col blocks per window (3x3 group -> 96x384)
@@ -92,8 +96,8 @@ def _warp_kernel(pk_ref,
     # this tile's actual d_pix range (bit-packed with the window base,
     # see the pk packing): for smooth fields ~10 of the 103 static
     # iterations do real work
-    smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - 8
-    smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - 8
+    smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - _TR
+    smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - _TR
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 0)
     d_pix = er - i_loc        # in [-(_TR-1), _NB*_WR - 2]
@@ -178,8 +182,8 @@ def _warp_cubic_kernel(pk_ref,
     ox = jax.lax.shift_right_logical(v, jnp.int32(9)) & 511
     er = jnp.clip(iy_ref[:] - oy * _WR, 0, _NB * _WR - 4)
     ec = jnp.clip(ix_ref[:] - ox * _WC, 0, _NC * _WC - 4)
-    smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - 8
-    smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - 8
+    smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - _TR
+    smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - _TR
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (_TR, _TC), 0)
     d_pix = er - i_loc
@@ -297,9 +301,9 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
 
     # Per-tile d_pix range for the kernels' runtime iteration skip
     # (d_pix = er - i_loc = rel - oy*_WR on in-domain tiles; clip to
-    # the 7-bit packing range — out-of-range only on fallback tiles).
-    dmin = jnp.clip(rel_min - oy * _WR, -8, 119)
-    dmax = jnp.clip(rel_max - oy * _WR, -8, 119)
+    # the 7-bit packing range (offset _TR) — out-of-range only on fallback tiles).
+    dmin = jnp.clip(rel_min - oy * _WR, -_TR, 127 - _TR)
+    dmax = jnp.clip(rel_max - oy * _WR, -_TR, 127 - _TR)
 
     dtype = image.dtype
     scratch = [pltpu.VMEM((_TR, _TC), dtype)] * (2 if taps == 2 else 4)
@@ -309,8 +313,8 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
     # 256KB at 4096^2; Mosaic rejects (1,1)/size-1 SMEM input blocks,
     # so packing is the only way to stay within budget). Layout:
     # oy | ox<<9 | (dmin+8)<<18 | (dmax+8)<<25.
-    pk = (oy | (ox << 9) | ((dmin + 8) << 18)
-          | ((dmax + 8) << 25)).astype(jnp.int32)
+    pk = (oy | (ox << 9) | ((dmin + _TR) << 18)
+          | ((dmax + _TR) << 25)).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nr, nc),

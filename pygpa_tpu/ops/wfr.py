@@ -491,6 +491,75 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
     return jnp.angle(g["lockin"]).astype(rdt), weight
 
 
+@partial(jax.jit, static_argnames=("sigma", "dr"))
+def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr):
+    """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
+    kernel): per group its own spectrum window, Gaussian factors and
+    DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1)."""
+    n, m = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    S = jax.vmap(lambda i0, i1: jnp.take(
+        jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
+    A0c, A0s = jax.vmap(lambda i: _zoom_basis(n, i, rdt))(idx0s)
+    A1c, A1s = jax.vmap(lambda i: _zoom_basis(m, i, rdt))(idx1s)
+    f0 = jnp.where(idx0s < n // 2 + n % 2, idx0s,
+                   idx0s - n).astype(rdt) / n          # (G, W0)
+    f1 = jnp.where(idx1s < m // 2 + m % 2, idx1s,
+                   idx1s - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wr = wl.astype(rdt)
+    gxs = jnp.exp(-s2 * (f0[:, None, :] + wr[:, :, 0:1]) ** 2)
+    gys = jnp.exp(-s2 * (f1[:, None, :] + wr[:, :, 1:2]) ** 2)
+    from .pallas_sweep import fused_zoom_sweep_grouped
+    return fused_zoom_sweep_grouped(
+        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
+        dr=int(dr), precision=_ZOOM_PRECISION)
+
+
+def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
+                                 spectrum=None):
+    """Demodulated winner phases + rim-masked weights for ALL Bragg
+    peaks of a pipeline sweep. On the fused TPU path the G sweeps run
+    as ONE grouped kernel launch (no per-peak launch overhead; group
+    g+1's MXU dots overlap group g's tournament). Falls back to
+    per-peak wfr_sweep_phase_weight when the windows differ in shape
+    or the kernel path is unavailable. Returns (phases (G, N, M),
+    weights (G, N, M))."""
+    if spectrum is None:
+        image = jnp.asarray(image)
+        spectrum = jnp.fft.fft2(image)
+    shape = spectrum.shape
+    concrete = all(not isinstance(w, jax.core.Tracer) for w in wlists)
+    plans = None
+    if concrete:
+        plans = [_plan_zoom(shape, np.asarray(w), float(sigma))
+                 for w in wlists]
+    use_grouped = (
+        plans is not None and all(p is not None for p in plans)
+        and _use_pallas_sweep()
+        and jnp.zeros((), spectrum.real.dtype).dtype == jnp.float32
+        and shape[0] % 128 == 0 and shape[1] % 128 == 0
+        and len({(p[0].shape[0], p[1].shape[0]) for p in plans}) == 1
+        and len({np.asarray(w).shape[0] for w in wlists}) == 1
+        and np.asarray(wlists[0]).shape[0] <= 48
+        and int(dr) >= 1)
+    if use_grouped:
+        wl = jnp.asarray(np.stack([np.asarray(w) for w in wlists]))
+        idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
+        idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
+        return _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s,
+                                          float(sigma), int(dr))
+    phs, wts = [], []
+    for w in wlists:
+        # kref is unused on the demod (rebase=False) path
+        ph, wt = wfr_sweep_phase_weight(image, w, jnp.asarray(w)[0],
+                                        sigma, dr, spectrum=spectrum)
+        phs.append(ph)
+        wts.append(wt)
+    return jnp.stack(phs), jnp.stack(wts)
+
+
 def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
               continuity_dk=None, chunk=8, spectrum=None, zoom="auto",
               rebase=True, return_absq=False):
