@@ -84,20 +84,12 @@ def _cg_unwrap_body(rk0, WWx, WWy, kmax, precond=None):
     dt = rk0.dtype
     scale = _poisson_scale(rk0.shape[-2:], dt)
     if precond is None:
-        from ..core import fourier
-        from ..ops import pallas_poisson
-        if (jax.default_backend() == "tpu"
-                and pallas_poisson.supported(rk0.shape, dt)):
-            # whole-plane-resident fused solve: one launch, one HBM
-            # round trip per CG iteration instead of 4 transform
-            # launches + divide
-            prec = fourier._MXU_FFT_PRECISION
-
-            def precond(rk):
-                return pallas_poisson.poisson_solve(rk, precision=prec)
-        else:
-            def precond(rk):
-                return idct2n(dct2n(rk) / scale)
+        # note: a fully-fused whole-VMEM Poisson-solve pallas kernel
+        # was tried here (r3) and LOST ~3x to this XLA chain — the
+        # 3-phase grid serializes on the resident scratch, while XLA
+        # pipelines the separate transform launches
+        def precond(rk):
+            return idct2n(dct2n(rk) / scale)
     # the reference's 1e-9 relative residual is unreachable in float32;
     # stop at a dtype-meaningful tolerance instead (f64 keeps 1e-9)
     eps = jnp.asarray(1e-9 if dt == jnp.float64 else 1e-6, dt)

@@ -73,22 +73,3 @@ def test_weighted_unwrap_ignores_noisy_region():
     err = (res - psi0)[good]
     assert np.abs(err - err.mean()).max() < 1e-2
 
-
-def test_pallas_poisson_matches_solve_poisson():
-    """The fused whole-VMEM Poisson-solve kernel (interpret mode) ==
-    dct2n/idct2n solve_poisson at f32."""
-    import jax
-    from pygpa_tpu.ops.pallas_poisson import poisson_solve, supported
-    from pygpa_tpu.solvers.unwrap import solve_poisson
-    rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.normal(size=(1024, 1024)).astype(np.float32))
-    assert supported(x.shape)
-    ref = np.asarray(solve_poisson(x))
-    out = np.asarray(poisson_solve(x))
-    sc = np.abs(ref).max()
-    assert np.allclose(out, ref, atol=3e-5 * sc)
-    # batched (vmapped-component) form
-    xb = jnp.stack([x[:512, :512], 2.0 * x[:512, :512]])
-    refb = np.asarray(solve_poisson(xb))
-    # 512 not in pallas_dct2 supported sizes -> supported() is False
-    assert not supported(xb.shape)
