@@ -64,8 +64,13 @@ def main():
     u_err = float(jnp.max(jnp.abs(u[:, b:-b, b:-b])
                           ).astype(jnp.float32))
     # deformed-fixture gate: recovered -u vs the analytic truth
-    # (mean-subtracted — the pipeline determines u up to a constant)
-    ud = fn(img_d)
+    # (mean-subtracted — the pipeline determines u up to a constant).
+    # The raw field carries the sigma-wide lock-in window blur
+    # (~0.4 px at this sigma/fixture); deconvolve it like the
+    # reference's deconvolve=True path before gating.
+    from pygpa_tpu.gpa.pipeline import gaussian_deconvolve
+    sig = int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
+    ud = gaussian_deconvolve(fn(img_d), sig, 2 * sig)
     resid = -ud - jnp.asarray(u_true)
     resid = resid[:, b:-b, b:-b]
     resid = resid - resid.mean(axis=(1, 2), keepdims=True)

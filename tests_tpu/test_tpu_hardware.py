@@ -232,3 +232,73 @@ def test_small_matmul_precision_onchip():
     host = host @ np.asarray(anisotropy_matrix(1.005, 13.0),
                              np.float64).T
     assert np.abs(dev[:6] - host).max() < 1e-6
+
+
+def test_grouped_sweep_onchip_matches_per_peak():
+    """The single-launch grouped multi-peak sweep == three per-peak
+    kernel launches, bit-for-bit (same math, same precision)."""
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import (wfr_sweep_phase_weight,
+                                   wfr_sweep_phase_weight_multi)
+    size = 512
+    img = hexlattice_gen(0.1, 7.0, order=2, size=size,
+                         dtype=jnp.float32)
+    ks = np.asarray(generate_ks(0.1, 7.0))[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    kw = knorms.mean() / 2.5
+    sig = int(np.ceil(1 / knorms.min()))
+    kstep = kw / 3
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    dr = 2 * sig
+    img0 = img - img.mean()
+    spec = jnp.fft.fft2(img0)
+    phg, wg = wfr_sweep_phase_weight_multi(img0, wlists, sig, dr,
+                                           spectrum=spec)
+    for g, w in enumerate(wlists):
+        ph, wt = wfr_sweep_phase_weight(img0, w, w[0], sig, dr,
+                                        spectrum=spec)
+        assert _maxabs(phg[g] - ph) < 1e-6
+        assert _maxabs(wg[g] - wt) < 1e-6
+
+
+def test_kernel_grad_onchip_vs_discrete():
+    """Kernel-emitted analytic winner gradients vs the XLA zoom path's
+    np.gradient formulation: equal up to the central-difference
+    discretization error on the smooth demodulated phase."""
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops import wfr
+    size = 512
+    img = hexlattice_gen(0.1, 7.0, order=2, size=size,
+                         dtype=jnp.float32)
+    ks = np.asarray(generate_ks(0.1, 7.0))[:3]
+    k = ks[0]
+    knorms = np.linalg.norm(ks, axis=1)
+    kw = knorms.mean() / 2.5
+    sig = int(np.ceil(1 / knorms.min()))
+    kstep = kw / 3
+    wxs = np.arange(k[0] - kw, k[0] + kw, kstep)
+    wys = np.arange(k[1] - kw, k[1] + kw, kstep)
+    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+    wlist = np.stack([wx.ravel(), wy.ravel()], -1)
+    img0 = img - jnp.mean(img)
+    g_kern = wfr.wfr_sweep(img0, wlist, k, sig, with_grad=True)
+    old = wfr._PALLAS_SWEEP
+    wfr._PALLAS_SWEEP = False
+    try:
+        g_xla = wfr.wfr_sweep(img0, wlist, k, sig, with_grad=True)
+    finally:
+        wfr._PALLAS_SWEEP = old
+    m = 5 * sig
+    dg = np.asarray(g_kern["grad"] - g_xla["grad"])[m:-m, m:-m]
+    # same winners almost everywhere; analytic vs central-difference
+    # differ by O(h^2 phi''') plus bf16x3 rounding
+    assert np.quantile(np.abs(dg), 0.99) < 5e-3
+    dl = _maxabs(g_kern["lockin"][m:-m, m:-m]
+                 - g_xla["lockin"][m:-m, m:-m])
+    scale = _maxabs(g_xla["lockin"])
+    assert dl < 1e-3 * scale
