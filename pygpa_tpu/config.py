@@ -22,6 +22,11 @@ class GPAConfig:
     # geometric_phase_analysis.py:117,241).
     unwrap_kmax: int = 100
     unwrap_kmax_reconstruct: int = 10
+    # coarsest-level CG iterations of the multigrid unwrap: 6 measured
+    # gate-identical to 10 on the reference fixtures (the finer levels
+    # polish); keeps ~25% of the V-cycle's coarse-level transforms off
+    # the clock
+    unwrap_kmax_mg: int = 6
     unwrap_kmax_iterate: int = 25
     unwrap_kmax_final: int = 200
     # Graphene lattice constant in nm (geometric_phase_analysis.py:352-368).

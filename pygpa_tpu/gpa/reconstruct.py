@@ -116,8 +116,9 @@ def reconstruct_u_inv_from_demod(kvecs, phases_demod, weights, kmax=10,
     dudy = weighted_lstsq_stack(dbdy, K, weights[:, : dbdy.shape[1], :])
     wnorm = jnp.linalg.norm(weights, axis=0)
     if unwrap_coarse:
+        kmg = min(int(kmax), DEFAULTS.unwrap_kmax_mg)
         unwrap = jax.vmap(lambda dx, dy: phase_unwrap_prediff_mg(
-            dx, dy, wnorm, kmax=kmax, coarse=unwrap_coarse,
+            dx, dy, wnorm, kmax=kmg, coarse=unwrap_coarse,
             refine_iters=refine_iters))
     else:
         unwrap = jax.vmap(lambda dx, dy: phase_unwrap_prediff(

@@ -270,7 +270,13 @@ def _zoom_window(n, center_bin, half_need):
     return idx.astype(np.int32)
 
 
-def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=22.0,
+# -ln(G) at the zoom-window edge. 22 -> G ~ 3e-10 (below f32
+# resolution of the passband); module-level so experiments can trade
+# window width (the deep-dot contraction depth) against tail accuracy.
+_GAUSS_CUT = 22.0
+
+
+def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=None,
                lane=64):
     """Plan the band-limited (zoom) sweep: the Gaussian bandpass
     G(q + w) confines every candidate's spectrum to a small window
@@ -281,8 +287,10 @@ def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=22.0,
     vectors or None when the window would not be worthwhile.
 
     gauss_cut is -ln(G) at the window edge (22 -> G ~ 3e-10, below
-    float32 resolution of the passband)."""
+    float32 resolution of the passband); None uses _GAUSS_CUT."""
     n, m = shape
+    if gauss_cut is None:
+        gauss_cut = _GAUSS_CUT
     f_band = np.sqrt(gauss_cut / 2.0) / (np.pi * sigma)
     w = np.asarray(wlist, np.float64)
     c0 = int(np.round(-np.mean(w[:, 0]) * n))
