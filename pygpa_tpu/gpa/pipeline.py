@@ -32,12 +32,18 @@ def invert_u(us, iters=35, edge=0, mode="nearest", order=3):
     xx, yy = jnp.mgrid[:n, :m]
     xx = xx.astype(us.dtype) - edge
     yy = yy.astype(us.dtype) - edge
+    # prefilter ONCE outside the fixed-point loop (every iteration
+    # resamples the same field)
+    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1)) \
+        if order == 3 else us
 
     def body(_, u_it):
         coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
         return jnp.stack([
-            interp.map_coordinates(us[0], coords, order=order, mode=mode),
-            interp.map_coordinates(us[1], coords, order=order, mode=mode),
+            interp.map_coordinates(usf[0], coords, order=order, mode=mode,
+                                   prefilter=False),
+            interp.map_coordinates(usf[1], coords, order=order, mode=mode,
+                                   prefilter=False),
         ])
 
     u0 = body(0, jnp.zeros_like(us))
@@ -69,12 +75,16 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
     xx, yy = jnp.mgrid[-edge: n + edge, -edge: m + edge]
     xx = xx.astype(us.dtype)
     yy = yy.astype(us.dtype)
+    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1)) \
+        if order == 3 else us
 
     def body(_, u_it):
         coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
         return jnp.stack([
-            interp.map_coordinates(us[0], coords, order=order, mode=mode),
-            interp.map_coordinates(us[1], coords, order=order, mode=mode),
+            interp.map_coordinates(usf[0], coords, order=order, mode=mode,
+                                   prefilter=False),
+            interp.map_coordinates(usf[1], coords, order=order, mode=mode,
+                                   prefilter=False),
         ])
 
     if coarse > 1:
@@ -137,10 +147,10 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
         return jax.lax.fori_loop(0, refine_iters, body1, u0)
 
     base = jnp.stack([
-        interp.map_coordinates(us[0], jnp.stack([xx, yy]), order=order,
-                               mode=mode),
-        interp.map_coordinates(us[1], jnp.stack([xx, yy]), order=order,
-                               mode=mode),
+        interp.map_coordinates(usf[0], jnp.stack([xx, yy]), order=order,
+                               mode=mode, prefilter=False),
+        interp.map_coordinates(usf[1], jnp.stack([xx, yy]), order=order,
+                               mode=mode, prefilter=False),
     ])
     return jax.lax.fori_loop(0, iters, body, base)
 

@@ -62,8 +62,21 @@ def _catmull_rom(d):
                      jnp.where(a < 2.0, outer, 0.0))
 
 
+def _bspline3(d):
+    """Cubic B-spline basis B3(d), support |d| < 2 — evaluated on
+    spline_filter'ed coefficients this is scipy's prefiltered order=3
+    interpolant (core.interp._bspline_weights as a kernel function)."""
+    a = jnp.abs(d)
+    s = 1.0 / 6.0
+    inner = s * (4.0 + a * a * (3.0 * a - 6.0))
+    t = 2.0 - a
+    outer = s * t * t * t
+    return jnp.where(a < 1.0, inner,
+                     jnp.where(a < 2.0, outer, 0.0))
+
+
 def _expand_kernel(s_ref, cell_ref, u0_ref, u1_ref, o_ref, *,
-                   order, with_u, R0, R1):
+                   order, with_u, R0, R1, cubic="bspline"):
     dt = o_ref.dtype
     a00, a01, a10, a11 = s_ref[0], s_ref[1], s_ref[2], s_ref[3]
     b00, b01, b10, b11 = s_ref[4], s_ref[5], s_ref[6], s_ref[7]
@@ -87,11 +100,33 @@ def _expand_kernel(s_ref, cell_ref, u0_ref, u1_ref, o_ref, *,
     X0 = (b00 * f0 + b01 * f1 - rmin0) * z        # cell row coord
     X1 = (b10 * f0 + b11 * f1 - rmin1) * z        # cell col coord
 
-    K = _hat if order == 1 else _catmull_rom
+    if order == 1:
+        K = _hat
+    else:
+        K = _bspline3 if cubic == "bspline" else _catmull_rom
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R1), 2).astype(dt)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R0), 2).astype(dt)
     Wx = K(X1[:, :, None] - cols)                 # (TR, TC, R1)
     Wy = K(X0[:, :, None] - rows)                 # (TR, TC, R0)
+    if order == 3 and cubic == "bspline":
+        # scipy-legacy 'constant' spline semantics (matching
+        # core.interp): in-bounds coordinates sample the MIRROR-
+        # extended coefficients. Taps reflected about each edge fold
+        # back onto interior coefficients: tap -t -> +t (add K(X + c))
+        # and tap (R-1)+t -> (R-1)-t (add K(X - (2(R-1) - c))); K's
+        # 2-wide support keeps both corrections zero except within two
+        # samples of the edges.
+        Wx = (Wx + jnp.where(cols >= 1.0, K(X1[:, :, None] + cols), 0.0)
+              + jnp.where(cols <= R1 - 2.0,
+                          K(X1[:, :, None] - (2.0 * (R1 - 1.0) - cols)),
+                          0.0))
+        Wy = (Wy + jnp.where(rows >= 1.0, K(X0[:, :, None] + rows), 0.0)
+              + jnp.where(rows <= R0 - 2.0,
+                          K(X0[:, :, None] - (2.0 * (R0 - 1.0) - rows)),
+                          0.0))
+        indom = ((X0 >= 0.0) & (X0 <= R0 - 1.0)
+                 & (X1 >= 0.0) & (X1 <= R1 - 1.0))
+        Wy = jnp.where(indom[:, :, None], Wy, 0.0)
     G = jax.lax.dot_general(                      # (TR, TC, R0)
         Wx, cell_ref[:], (((2,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -100,9 +135,9 @@ def _expand_kernel(s_ref, cell_ref, u0_ref, u1_ref, o_ref, *,
 
 
 @partial(jax.jit,
-         static_argnames=("out_shape", "order", "interpret"))
+         static_argnames=("out_shape", "order", "interpret", "cubic"))
 def _expand_call(scalars, cell, u0, u1, out_shape, order,
-                 interpret=False):
+                 interpret=False, cubic="bspline"):
     R0, R1 = cell.shape
     n, m = out_shape
     with_u = u0 is not None
@@ -124,7 +159,8 @@ def _expand_call(scalars, cell, u0, u1, out_shape, order,
 
     def kern(s_ref, cell_ref, u0_ref, u1_ref, o_ref):
         _expand_kernel(s_ref, cell_ref, u0_ref, u1_ref, o_ref,
-                       order=order, with_u=with_u, R0=R0, R1=R1)
+                       order=order, with_u=with_u, R0=R0, R1=R1,
+                       cubic=cubic)
 
     return pl.pallas_call(
         kern,
@@ -140,7 +176,7 @@ def _expand_call(scalars, cell, u0, u1, out_shape, order,
 
 
 def expand_cell(cell, ks, rmin, z, z2, u, out_shape, order=3,
-                interpret=None):
+                interpret=None, cubic="bspline"):
     """Expand the averaged unit `cell` onto an (N, M) image grid.
 
     cell : (R0, R1) real array (NaNs already replaced by the caller).
@@ -148,10 +184,17 @@ def expand_cell(cell, ks, rmin, z, z2, u, out_shape, order=3,
     z, z2 : cell zoom / output supersampling (reference semantics,
         unit_cell_averaging.py:236-249).
     u : optional (2, N, M) displacement field.
+    cubic='bspline' (default) prefilters the cell and samples with the
+    B-spline basis — scipy's order=3 semantics, matching
+    core.interp.map_coordinates; 'catmull' keeps the unfiltered
+    Catmull-Rom interpolant.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cell = jnp.asarray(cell)
+    if order == 3 and cubic == "bspline":
+        from ..core.interp import spline_filter
+        cell = spline_filter(cell, mode="constant")
     dt = cell.dtype
     A = np.asarray(ks, np.float64)
     Ainv = np.linalg.inv(A)
@@ -171,5 +214,5 @@ def expand_cell(cell, ks, rmin, z, z2, u, out_shape, order=3,
         u0 = jnp.pad(u[0], ((0, pn), (0, pm)))
         u1 = jnp.pad(u[1], ((0, pn), (0, pm)))
     out = _expand_call(scalars, cell, u0, u1, (n + pn, m + pm),
-                       order, interpret=interpret)
+                       order, interpret=interpret, cubic=cubic)
     return out[:n, :m]

@@ -157,11 +157,24 @@ def _cr_weights(t):
             0.5 * t3 - 0.5 * t2)
 
 
+def _bs_weights(t):
+    """Cubic B-spline basis weights (core.interp._bspline_weights) —
+    for sampling spline_filter'ed coefficient arrays."""
+    t2 = t * t
+    t3 = t2 * t
+    s = 1.0 / 6.0
+    return (s * (1.0 - 3.0 * t + 3.0 * t2 - t3),
+            s * (4.0 - 6.0 * t2 + 3.0 * t3),
+            s * (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3),
+            s * t3)
+
+
 def _warp_cubic_kernel(pk_ref,
                        w00_ref, w01_ref, w02_ref, w10_ref, w11_ref,
                        w12_ref, w20_ref, w21_ref, w22_ref,
                        iy_ref, ix_ref, fy_ref, fx_ref, out_ref,
-                       acc_ref, r0_ref, r1_ref, r2_ref, r3_ref):
+                       acc_ref, r0_ref, r1_ref, r2_ref, r3_ref,
+                       weight_fn=_cr_weights):
     """Catmull-Rom 4x4-tap variant: er/ec point at the FIRST tap
     (floor - 1, pre-shifted by the wrapper). Per executed d, the four
     column taps are gathered and x-blended into one plane stored in a
@@ -197,8 +210,8 @@ def _warp_cubic_kernel(pk_ref,
         return in0, in1, e0, e1_, e2
 
     ts = [chunk_idx(ec + k) for k in range(4)]
-    wx = _cr_weights(fx)
-    wy = _cr_weights(fy)
+    wx = weight_fn(fx)
+    wy = weight_fn(fy)
 
     def gather(A0, A1, A2, t):
         in0, in1, e0, e1_, e2 = t
@@ -231,7 +244,7 @@ def _warp_cubic_kernel(pk_ref,
     out_ref[:] = acc_ref[:]
 
 
-def _warp_xla(image, iy0, ix0, fy, fx, taps):
+def _warp_xla(image, iy0, ix0, fy, fx, taps, cubic="catmull"):
     """Dense XLA-gather fallback with the exact tap/weight algebra of
     the Pallas kernels — used when a tile's coordinate span exceeds the
     kernel's 3x3 window (discontinuous fields)."""
@@ -245,8 +258,9 @@ def _warp_xla(image, iy0, ix0, fy, fx, taps):
         one = jnp.ones((), fy.dtype)
         return ((one - fy) * ((one - fx) * r0 + fx * r1)
                 + fy * ((one - fx) * r2 + fx * r3))
-    wy = _cr_weights(fy)
-    wx = _cr_weights(fx)
+    weight_fn = _bs_weights if cubic == "bspline" else _cr_weights
+    wy = weight_fn(fy)
+    wx = weight_fn(fx)
     out = jnp.zeros(fy.shape, fy.dtype)
     for a in range(4):
         row = jnp.zeros(fy.shape, fy.dtype)
@@ -256,8 +270,9 @@ def _warp_xla(image, iy0, ix0, fy, fx, taps):
     return out
 
 
-@partial(jax.jit, static_argnames=("interpret", "taps"))
-def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
+@partial(jax.jit, static_argnames=("interpret", "taps", "cubic"))
+def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2,
+               cubic="catmull"):
     """Separable-kernel sample of `image` at integer base taps
     (iy0, ix0) with fractions (fy, fx): bilinear for taps=2,
     Catmull-Rom cubic for taps=4 (base tap = floor - 1). Taps must
@@ -331,7 +346,12 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
         out_specs=pl.BlockSpec((_TR, _TC), lambda r, c, pk_: (r, c)),
         scratch_shapes=[pltpu.VMEM((_TR, _TC), dtype)] + scratch,
     )
-    kernel = _warp_kernel if taps == 2 else _warp_cubic_kernel
+    if taps == 2:
+        kernel = _warp_kernel
+    else:
+        kernel = partial(_warp_cubic_kernel,
+                         weight_fn=(_bs_weights if cubic == "bspline"
+                                    else _cr_weights))
 
     def pallas_branch(image, iy0, ix0, fy, fx):
         return pl.pallas_call(
@@ -343,7 +363,7 @@ def _warp_core(image, iy0, ix0, fy, fx, interpret, taps=2):
 
     return jax.lax.cond(
         in_domain, pallas_branch,
-        partial(_warp_xla, taps=taps),
+        partial(_warp_xla, taps=taps, cubic=cubic),
         image, iy0, ix0, fy, fx)
 
 
@@ -422,10 +442,14 @@ def warp_bilinear(image, cy, cx, mode="nearest", cval=0.0,
     return out.reshape(out_shape)
 
 
-def warp_cubic(image, cy, cx, mode="nearest", cval=0.0, interpret=None):
-    """map_coordinates(order=3, Catmull-Rom) drop-in for 2-D images on
-    TPU — the same interpolant as core.interp's order=3 resampler
-    (16 fused gathers there; 12 vreg-gathers per row-shift here).
+def warp_cubic(image, cy, cx, mode="nearest", cval=0.0, interpret=None,
+               cubic="catmull"):
+    """map_coordinates(order=3) drop-in for 2-D images on TPU — the
+    same interpolant as core.interp's order=3 resampler (16 fused
+    gathers there; 12 vreg-gathers per row-shift here).
+    cubic='catmull' is the interpolating Catmull-Rom kernel;
+    cubic='bspline' samples with B-spline basis weights (pass a
+    spline_filter'ed coefficient array for scipy-equivalent results).
     Boundary semantics match core.interp._map_coordinates_cubic:
     'nearest' clamps each tap, 'constant' blends cval for taps outside
     (exact out to the 2-pixel partial-overlap rim, masked beyond).
@@ -459,13 +483,24 @@ def warp_cubic(image, cy, cx, mode="nearest", cval=0.0, interpret=None):
         ty = jnp.minimum(fl_y.astype(jnp.int32), n - 1) + 1
         tx = jnp.minimum(fl_x.astype(jnp.int32), m - 1) + 1
     elif mode == "constant":
-        # Three cval rings cover taps of positions out to 2 px outside
-        # (where scipy still blends partial cval); beyond, every tap
-        # is outside -> masked to pure cval.
-        img = jnp.pad(image, 3, constant_values=cval)
-        outside = ((cy <= -2) | (cy >= n + 1) | (cx <= -2) | (cx >= m + 1))
-        cyc = jnp.clip(cy, -2, n + 1)
-        cxc = jnp.clip(cx, -2, m + 1)
+        if cubic == "bspline":
+            # scipy's legacy 'constant': in-bounds coordinates sample
+            # the MIRROR-extended spline (three reflected rings cover
+            # the edge taps); out-of-bounds coordinates hard-cut to
+            # cval.
+            img = jnp.pad(image, 3, mode="reflect")
+            outside = (cy < 0) | (cy > n - 1) | (cx < 0) | (cx > m - 1)
+            cyc = jnp.clip(cy, 0.0, n - 1.0)
+            cxc = jnp.clip(cx, 0.0, m - 1.0)
+        else:
+            # Three cval rings cover taps of positions out to 2 px
+            # outside (where scipy still blends partial cval); beyond,
+            # every tap is outside -> masked to pure cval.
+            img = jnp.pad(image, 3, constant_values=cval)
+            outside = ((cy <= -2) | (cy >= n + 1)
+                       | (cx <= -2) | (cx >= m + 1))
+            cyc = jnp.clip(cy, -2, n + 1)
+            cxc = jnp.clip(cx, -2, m + 1)
         fl_y = jnp.floor(cyc)
         fl_x = jnp.floor(cxc)
         fy = (cyc - fl_y).astype(image.dtype)
@@ -482,7 +517,7 @@ def warp_cubic(image, cy, cx, mode="nearest", cval=0.0, interpret=None):
     fy_p = _pad_to(fy, _TR, _TC, edge=True)
     fx_p = _pad_to(fx, _TR, _TC, edge=True)
     out = _warp_core(img_p, ty_p, tx_p, fy_p, fx_p, interpret,
-                     taps=4)[:ch, :cw]
+                     taps=4, cubic=cubic)[:ch, :cw]
     if mode == "constant":
         out = jnp.where(outside, jnp.asarray(cval, out.dtype), out)
     return out.reshape(out_shape)

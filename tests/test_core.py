@@ -128,12 +128,51 @@ def test_map_coordinates_vs_scipy(order, mode):
         else:
             assert np.allclose(mine, ref, atol=1e-10)
     else:
-        # Catmull-Rom vs prefiltered B-spline: interpolating kernels on
-        # a smooth image agree to interpolation-error level
+        # prefiltered B-spline: EXACT scipy semantics in the interior
+        # (the border rim differs only in the out-of-range coordinate
+        # convention; prefilter BCs are matched per mode)
         inside = ((coords[0] > 2) & (coords[0] < 37)
                   & (coords[1] > 2) & (coords[1] < 37))
         err = np.abs(mine - ref)[inside]
-        assert err.max() < 0.05 * np.abs(img).max()
+        assert err.max() < 1e-10
+        # the Catmull-Rom fast path stays available and close on
+        # smooth images
+        cr = np.asarray(interp.map_coordinates(
+            jnp.asarray(img), jnp.asarray(coords), order=3, mode=mode,
+            cval=0.0, cubic="catmull"))
+        assert np.abs(cr - ref)[inside].max() < 0.05 * np.abs(img).max()
+
+
+def test_spline_filter_matches_scipy():
+    """Exact equivalence of the pad+FIR prefilter with scipy's IIR
+    solve, including images smaller than the FIR radius (repeated
+    symmetric padding lands each reflection on a symmetry point of the
+    infinite extension). Only 'mirror' is compared directly:
+    scipy.ndimage.spline_filter's standalone 'nearest' uses a legacy
+    initial-condition convention that map_coordinates itself does NOT
+    use — the nearest contract is pinned end-to-end in
+    test_map_coordinates_nearest_exact_with_border instead."""
+    rng = np.random.default_rng(11)
+    for shape in [(64, 53), (9, 7), (40, 3)]:
+        img = rng.standard_normal(shape)
+        ref = ndi.spline_filter(img, order=3, mode="mirror")
+        got = np.asarray(interp.spline_filter(jnp.asarray(img),
+                                              mode="mirror"))
+        assert np.abs(got - ref).max() < 1e-11, shape
+
+
+def test_map_coordinates_nearest_exact_with_border():
+    """mode='nearest' matches scipy everywhere in-domain (prefilter
+    extension = edge replication)."""
+    rng = np.random.default_rng(12)
+    img = rng.standard_normal((32, 45))
+    coords = np.stack([rng.uniform(0, 31, (300,)),
+                       rng.uniform(0, 44, (300,))])
+    ref = ndi.map_coordinates(img, coords, order=3, mode="nearest")
+    got = np.asarray(interp.map_coordinates(jnp.asarray(img),
+                                            jnp.asarray(coords),
+                                            order=3, mode="nearest"))
+    assert np.abs(got - ref).max() < 1e-10
 
 
 def test_map_coordinates_cubic_accuracy():

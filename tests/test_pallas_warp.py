@@ -143,3 +143,24 @@ def test_warp_discontinuous_coords_guard(mode, order):
                                      mode)
         mine = warp_cubic(img, cy, cx, mode=mode, cval=-3.5)
     assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["nearest", "constant"])
+def test_warp_cubic_bspline_variant(mode):
+    """cubic='bspline' (sampling prefiltered coefficients with the
+    B-spline basis — scipy's order=3 semantics) must agree between the
+    kernel and core.interp everywhere, including the border rings and
+    far out-of-range positions."""
+    from pygpa_tpu.core.interp import spline_filter
+    rng = np.random.default_rng(17)
+    img = jnp.asarray(rng.normal(size=(96, 128)))
+    coef = spline_filter(img, mode=mode)
+    yy, xx = np.meshgrid(np.linspace(-25, 120, 64),
+                         np.linspace(-25, 155, 128), indexing="ij")
+    cy = jnp.asarray(yy + 2 * np.sin(xx / 40))
+    cx = jnp.asarray(xx + 2 * np.cos(yy / 40))
+    ref = _map_coordinates_cubic(coef, jnp.stack([cy, cx]), 2.5, mode,
+                                 cubic="bspline")
+    mine = warp_cubic(coef, cy, cx, mode=mode, cval=2.5,
+                      cubic="bspline")
+    assert np.allclose(np.asarray(mine), np.asarray(ref), atol=1e-12)
