@@ -108,25 +108,10 @@ def _expand_kernel(s_ref, cell_ref, u0_ref, u1_ref, o_ref, *,
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R0), 2).astype(dt)
     Wx = K(X1[:, :, None] - cols)                 # (TR, TC, R1)
     Wy = K(X0[:, :, None] - rows)                 # (TR, TC, R0)
-    if order == 3 and cubic == "bspline":
-        # scipy-legacy 'constant' spline semantics (matching
-        # core.interp): in-bounds coordinates sample the MIRROR-
-        # extended coefficients. Taps reflected about each edge fold
-        # back onto interior coefficients: tap -t -> +t (add K(X + c))
-        # and tap (R-1)+t -> (R-1)-t (add K(X - (2(R-1) - c))); K's
-        # 2-wide support keeps both corrections zero except within two
-        # samples of the edges.
-        Wx = (Wx + jnp.where(cols >= 1.0, K(X1[:, :, None] + cols), 0.0)
-              + jnp.where(cols <= R1 - 2.0,
-                          K(X1[:, :, None] - (2.0 * (R1 - 1.0) - cols)),
-                          0.0))
-        Wy = (Wy + jnp.where(rows >= 1.0, K(X0[:, :, None] + rows), 0.0)
-              + jnp.where(rows <= R0 - 2.0,
-                          K(X0[:, :, None] - (2.0 * (R0 - 1.0) - rows)),
-                          0.0))
-        indom = ((X0 >= 0.0) & (X0 <= R0 - 1.0)
-                 & (X1 >= 0.0) & (X1 <= R1 - 1.0))
-        Wy = jnp.where(indom[:, :, None], Wy, 0.0)
+    # cubic == "bspline" needs NO extra terms here: the wrapper folds
+    # the scipy-legacy mirror boundary into the coefficient array
+    # itself (prefilter + 2 reflected rings + a coordinate shift), so
+    # the plain zero-outside weight vectors sample it exactly.
     G = jax.lax.dot_general(                      # (TR, TC, R0)
         Wx, cell_ref[:], (((2,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -192,9 +177,18 @@ def expand_cell(cell, ks, rmin, z, z2, u, out_shape, order=3,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cell = jnp.asarray(cell)
+    rmin = (float(rmin[0]), float(rmin[1]))
     if order == 3 and cubic == "bspline":
+        # scipy's order=3 semantics with the mirror boundary FOLDED
+        # INTO the coefficients: prefilter, add two reflected rings,
+        # and shift the cell-coordinate origin by 2 samples (rmin is
+        # in pre-zoom units, hence -2/z). In-domain X lands in
+        # [2, R+1], so every 4-tap stencil stays inside the extended
+        # array and the kernel's plain zero-outside weights are exact.
         from ..core.interp import spline_filter
         cell = spline_filter(cell, mode="constant")
+        cell = jnp.pad(cell, 2, mode="reflect")
+        rmin = (rmin[0] - 2.0 / float(z), rmin[1] - 2.0 / float(z))
     dt = cell.dtype
     A = np.asarray(ks, np.float64)
     Ainv = np.linalg.inv(A)
