@@ -145,9 +145,12 @@ def test_expand_kernel_onchip():
     f1 = (rr0 * A[1, 0] + rr1 * A[1, 1]) % 1.0
     X0 = (f0 * Ainv[0, 0] + f1 * Ainv[0, 1] - rmin[0]) * z
     X1 = (f0 * Ainv[1, 0] + f1 * Ainv[1, 1] - rmin[1]) * z
-    ref = _map_coordinates_cubic(jnp.nan_to_num(cell),
+    from pygpa_tpu.core.interp import spline_filter
+    coef = spline_filter(jnp.nan_to_num(cell), mode="constant")
+    ref = _map_coordinates_cubic(coef,
                                  jnp.stack([X0, X1]).astype(jnp.float32),
-                                 jnp.float32(0.0), "constant")
+                                 jnp.float32(0.0), "constant",
+                                 cubic="bspline")
     assert _maxabs(out - ref) < 1e-3
 
 
