@@ -188,9 +188,11 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             @pl.when(jnp.any(sel))
             def _recompute(i=i, sel=sel):
                 sl = slice(i * R, (i + 1) * R)
-                mr = (raw(thi[sl], b1r_hi) + raw(thi[sl], b1r_lo)
+                # hi*hi term is pass A's dot — reuse it, add the two
+                # bf16x3 cross terms (4 MXU calls/winner, not 6)
+                mr = (mall_r[sl] + raw(thi[sl], b1r_lo)
                       + raw(tlo[sl], b1r_hi))
-                mi = (raw(thi[sl], b1i_hi) + raw(thi[sl], b1i_lo)
+                mi = (mall_i[sl] + raw(thi[sl], b1i_lo)
                       + raw(tlo[sl], b1i_hi))
                 oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
                                       oa_ref[:])
@@ -354,12 +356,15 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                 ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
                 s = (g * P + i) * R
                 if high:
+                    # single [hi | lo] scratch: lanes [0, 2*W1) hold
+                    # the bf16-high halves, [2*W1, 4*W1) the lows —
+                    # pass B then reads one contiguous (R, 4*W1) slice
                     rhi, rlo = _split_bf16(tr)
                     ihi, ilo = _split_bf16(ti)
                     t_ref[s:s + R, :W1] = rhi
-                    t_ref[s:s + R, W1:] = ihi
-                    tlo_ref[s:s + R, :W1] = rlo
-                    tlo_ref[s:s + R, W1:] = ilo
+                    t_ref[s:s + R, W1:2 * W1] = ihi
+                    t_ref[s:s + R, 2 * W1:3 * W1] = rlo
+                    t_ref[s:s + R, 3 * W1:] = ilo
                 else:
                     t_ref[s:s + R, :W1] = tr
                     t_ref[s:s + R, W1:] = ti
@@ -372,11 +377,11 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                     a, b, _D11, precision=jax.lax.Precision.DEFAULT,
                     preferred_element_type=jnp.float32)
 
-            tlo = tlo_ref[g * P * R:(g + 1) * P * R]
+            thi = t[:, :2 * W1]
             b1r_hi, b1r_lo = _split_bf16(b1r_ref[g])
             b1i_hi, b1i_lo = _split_bf16(b1i_ref[g])
-            mall_r = raw(t, b1r_hi)
-            mall_i = raw(t, b1i_hi)
+            mall_r = raw(thi, b1r_hi)
+            mall_i = raw(thi, b1i_hi)
             mr0 = mall_r[:R]
             mi0 = mall_i[:R]
             la = mr0 * mr0 + mi0 * mi0
@@ -388,16 +393,22 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                 sel = absq > la
                 la = jnp.where(sel, absq, la)
                 lx = jnp.where(sel, i, lx)
+            # pass B: exact bf16x3 for the winners only. The hi*hi
+            # term is pass A's mall_r/mall_i slice (bitwise the same
+            # dot); the two cross terms thi@blo + tlo@bhi collapse
+            # into ONE deep dot against [b_lo | b_hi] thanks to the
+            # [hi | lo] scratch layout — 2 MXU calls per winner
+            # instead of 6.
+            bcat_r = jnp.concatenate([b1r_lo, b1r_hi], axis=1)
+            bcat_i = jnp.concatenate([b1i_lo, b1i_hi], axis=1)
             for i in range(P):
                 sel = lx == i
 
                 @pl.when(jnp.any(sel))
                 def _recompute(i=i, sel=sel):
                     sl = slice(i * R, (i + 1) * R)
-                    mr = (raw(t[sl], b1r_hi) + raw(t[sl], b1r_lo)
-                          + raw(tlo[sl], b1r_hi))
-                    mi = (raw(t[sl], b1i_hi) + raw(t[sl], b1i_lo)
-                          + raw(tlo[sl], b1i_hi))
+                    mr = mall_r[sl] + raw(t[sl], bcat_r)
+                    mi = mall_i[sl] + raw(t[sl], bcat_i)
                     oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
                                           oa_ref[:])
                     or_ref[:] = jnp.where(sel, mr, or_ref[:])
@@ -482,10 +493,10 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         out_shape=(jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
                    jax.ShapeDtypeStruct((G, n, m), Srs.dtype)),
         scratch_shapes=[
-            pltpu.VMEM((G * P * rows, 2 * W1),
-                       jnp.bfloat16 if high else jnp.float32),
-            pltpu.VMEM((G * P * rows, 2 * W1) if high else (8, 128),
-                       jnp.bfloat16),
+            pltpu.VMEM((G * P * rows, 4 * W1), jnp.bfloat16)
+            if high else
+            pltpu.VMEM((G * P * rows, 2 * W1), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.bfloat16),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32)],
