@@ -27,6 +27,15 @@ class GPAConfig:
     # polish); keeps ~25% of the V-cycle's coarse-level transforms off
     # the clock
     unwrap_kmax_mg: int = 6
+    # finest-level strategy of the multigrid unwrap schedule: 1 = one
+    # full-resolution DCT-preconditioned CG step (exact-path default),
+    # "v"/"vv" = smooth/coarse-correct/smooth V-branch rounds
+    # (transform-free at full resolution, ~2x faster finest level,
+    # slightly wider — but gate-green — error margins; see
+    # solvers/unwrap.py). Measured at 4096^2 on-chip: "v" 146.4 vs
+    # 1 at 134.8 Mpix/s; interior err 0.0011 vs 0.0007 px ("vv" is
+    # slower than 1 — two coarse CG solves cost more than the DCT).
+    unwrap_mg_final: object = "v"
     unwrap_kmax_iterate: int = 25
     unwrap_kmax_final: int = 200
     # Graphene lattice constant in nm (geometric_phase_analysis.py:352-368).

@@ -130,11 +130,19 @@ def _bspline_band_matrix(n, dtype):
     return (amp * sign * mag) * band
 
 
-def spline_filter(image, mode="mirror", axes=None):
+def spline_filter(image, mode="mirror", axes=None, margin=0):
     """Cubic B-spline prefilter (scipy.ndimage.spline_filter order=3
     equivalent): returns the coefficient array c with B3 * c = image
     under the mode's boundary extension. Separable over `axes` (all
-    axes by default; for stacks pass e.g. axes=(-2, -1))."""
+    axes by default; for stacks pass e.g. axes=(-2, -1)).
+
+    margin > 0 keeps `margin` extra boundary-extension COEFFICIENTS on
+    each side of each filtered axis (output length n + 2*margin). The
+    'nearest' sampling path needs margin=1: scipy samples the
+    coefficients of the edge-extended signal (its map_coordinates
+    pre-pads by 12, _interpolation.py:212-226), and the extended
+    coefficient at -1 is NOT c[0] — clamping taps to a cropped array
+    is wrong by up to ~0.2 within 1 px of the border."""
     image = jnp.asarray(image)
     if axes is None:
         axes = tuple(range(image.ndim))
@@ -144,7 +152,7 @@ def spline_filter(image, mode="mirror", axes=None):
     nd = image.ndim
     for ax in axes:
         ax = ax % nd
-        x = _pad_axis(image, r, ax, mode)
+        x = _pad_axis(image, r + int(margin), ax, mode)
         if on_tpu:
             # dense banded matmul straight on the axis (no moveaxis —
             # relayout transposes cost more than the matmul itself)
@@ -231,7 +239,7 @@ def _map_coordinates_cubic(image, coords, cval, mode, cubic="catmull"):
 
 
 def map_coordinates(image, coordinates, order=3, mode="nearest", cval=0.0,
-                    cubic="bspline", prefilter=True):
+                    cubic="bspline", prefilter=True, margin=0):
     """Sample `image` at fractional `coordinates` (shape (2, ...)).
 
     order=1 delegates to jax.scipy.ndimage (bilinear); order=3 matches
@@ -245,7 +253,9 @@ def map_coordinates(image, coordinates, order=3, mode="nearest", cval=0.0,
 
     prefilter=False assumes `image` already holds B-spline
     coefficients (scipy semantics) — hoist spline_filter out of
-    fixed-point loops that resample one image repeatedly.
+    fixed-point loops that resample one image repeatedly; pass
+    `margin` matching the spline_filter(margin=...) used (required
+    for scipy-exact 'nearest': margin=1, see spline_filter).
     cubic='catmull' keeps the r1/r2 interpolating Catmull-Rom kernel
     (no prefilter pass; C^1, ~same accuracy on smooth fields).
     """
@@ -261,7 +271,24 @@ def map_coordinates(image, coordinates, order=3, mode="nearest", cval=0.0,
     if mode not in ("nearest", "constant"):
         raise NotImplementedError(f"mode={mode!r} not supported for cubic")
     if cubic == "bspline" and prefilter:
-        image = spline_filter(image, mode=mode)
+        if mode == "nearest":
+            margin = 1
+            image = spline_filter(image, mode=mode, margin=1)
+        else:
+            image = spline_filter(image, mode=mode)
+    if margin:
+        # sample the margin-extended coefficients: clamp the COORDINATE
+        # to the domain (scipy's 'nearest' maps out-of-bounds
+        # coordinates to the edge) and shift into the extended frame;
+        # in-domain taps span [-1, n] of the logical grid = [margin-1,
+        # n+margin] of the extended array — never clamped
+        mg = int(margin)
+        n_l = image.shape[0] - 2 * mg
+        m_l = image.shape[1] - 2 * mg
+        dt = coordinates.dtype
+        coordinates = jnp.stack([
+            jnp.clip(coordinates[0], 0, n_l - 1) + jnp.asarray(mg, dt),
+            jnp.clip(coordinates[1], 0, m_l - 1) + jnp.asarray(mg, dt)])
     if _use_pallas_warp(image, coordinates, order, mode):
         from ..ops.pallas_warp import warp_cubic
         return warp_cubic(image, coordinates[0], coordinates[1],

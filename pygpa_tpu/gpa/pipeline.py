@@ -33,17 +33,19 @@ def invert_u(us, iters=35, edge=0, mode="nearest", order=3):
     xx = xx.astype(us.dtype) - edge
     yy = yy.astype(us.dtype) - edge
     # prefilter ONCE outside the fixed-point loop (every iteration
-    # resamples the same field)
-    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1)) \
+    # resamples the same field); margin=1 keeps the boundary-extension
+    # coefficients 'nearest' sampling needs (see interp.spline_filter)
+    mg = 1 if (order == 3 and mode == "nearest") else 0
+    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1), margin=mg) \
         if order == 3 else us
 
     def body(_, u_it):
         coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
         return jnp.stack([
             interp.map_coordinates(usf[0], coords, order=order, mode=mode,
-                                   prefilter=False),
+                                   prefilter=False, margin=mg),
             interp.map_coordinates(usf[1], coords, order=order, mode=mode,
-                                   prefilter=False),
+                                   prefilter=False, margin=mg),
         ])
 
     u0 = body(0, jnp.zeros_like(us))
@@ -75,16 +77,17 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
     xx, yy = jnp.mgrid[-edge: n + edge, -edge: m + edge]
     xx = xx.astype(us.dtype)
     yy = yy.astype(us.dtype)
-    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1)) \
+    mg = 1 if (order == 3 and mode == "nearest") else 0
+    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1), margin=mg) \
         if order == 3 else us
 
     def body(_, u_it):
         coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
         return jnp.stack([
             interp.map_coordinates(usf[0], coords, order=order, mode=mode,
-                                   prefilter=False),
+                                   prefilter=False, margin=mg),
             interp.map_coordinates(usf[1], coords, order=order, mode=mode,
-                                   prefilter=False),
+                                   prefilter=False, margin=mg),
         ])
 
     if coarse > 1:
@@ -148,9 +151,9 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
 
     base = jnp.stack([
         interp.map_coordinates(usf[0], jnp.stack([xx, yy]), order=order,
-                               mode=mode, prefilter=False),
+                               mode=mode, prefilter=False, margin=mg),
         interp.map_coordinates(usf[1], jnp.stack([xx, yy]), order=order,
-                               mode=mode, prefilter=False),
+                               mode=mode, prefilter=False, margin=mg),
     ])
     return jax.lax.fori_loop(0, iters, body, base)
 
@@ -171,19 +174,51 @@ def undistort_image(deformed, u, order=3, coarse=1, invert_iters=35):
                                   mode="constant", cval=0.0)
 
 
+def _next_fast_fft_size(n):
+    """Smallest 5-smooth integer >= n. XLA's FFT runs Bluestein for
+    sizes with large prime factors — 4096 + 4*dr = 4504 = 2^3 * 563
+    measured ~4x slower than the nearby 4608 = 2^9 * 3^2."""
+    best = 1
+    while best < n:
+        best *= 2
+    c5 = 1
+    while c5 < best:
+        c3 = c5
+        while c3 < best:
+            c2 = c3
+            while c2 < n:
+                c2 *= 2
+            best = min(best, c2)
+            c3 *= 3
+        c5 *= 5
+    return best
+
+
 def gaussian_deconvolve(data, sigma, dr=DEFAULTS.wiener_pad,
                         balance=DEFAULTS.wiener_balance):
     """Wiener-deconvolve a (stack of) image(s) by the GPA Gaussian
     window (geometric_phase_analysis.py:892-904): reflect-pad by 2*dr,
     divide by the Gaussian transfer with Laplacian regularization,
-    crop."""
+    crop. The reflect pad is widened to the next 5-smooth FFT size
+    (boundary-effect-only deviation from the reference's exact 2*dr
+    pad, inside the same reflect-pad approximation and covered by the
+    reference-tolerance pipeline tests; keeps XLA off its Bluestein
+    path — ~4x at 4096^2)."""
     data = jnp.asarray(data)
-    pad = [(0, 0)] * (data.ndim - 2) + [(2 * dr, 2 * dr), (2 * dr, 2 * dr)]
+    n, m = data.shape[-2], data.shape[-1]
+    pn = _next_fast_fft_size(n + 4 * dr)
+    pm = _next_fast_fft_size(m + 4 * dr)
+    # extra pad must stay below the reflectable width; fall back to
+    # the exact 2*dr pad when the image is tiny
+    en = pn - n - 4 * dr if pn - n - 2 * dr < n else 0
+    em = pm - m - 4 * dr if pm - m - 2 * dr < m else 0
+    pad = [(0, 0)] * (data.ndim - 2) + [(2 * dr, 2 * dr + en),
+                                        (2 * dr, 2 * dr + em)]
     padded = jnp.pad(data, pad, mode="reflect")
     H = fourier_gaussian_multiplier(padded.shape[-2:], sigma,
                                     jnp.zeros((), data.dtype).real.dtype)
     out = wiener_deconvolve(padded, H, balance)
-    return out[..., 2 * dr: -2 * dr, 2 * dr: -2 * dr]
+    return out[..., 2 * dr: 2 * dr + n, 2 * dr: 2 * dr + m]
 
 
 def make_displacement_extractor(shape, kvecs, sigma=None,

@@ -135,7 +135,12 @@ def phase_unwrap_prediff_sharded(dx, dy, weight, mesh, axis="batch",
     solvers.unwrap.phase_unwrap_prediff / _mg on sharded planes)."""
     factory = make_sharded_precond_factory(mesh, axis, dx.dtype)
     if coarse:
-        return phase_unwrap_prediff_mg(dx, dy, weight, kmax=kmax,
+        # clamp the coarse-level iterations exactly like the
+        # single-device path (reconstruct_u_inv_from_demod) so the
+        # sharded and single-device multigrid solves stay
+        # schedule-identical
+        kmg = min(int(kmax), DEFAULTS.unwrap_kmax_mg)
+        return phase_unwrap_prediff_mg(dx, dy, weight, kmax=kmg,
                                        coarse=coarse,
                                        precond_factory=factory)
     dx = wrap_to_pi(jnp.asarray(dx))

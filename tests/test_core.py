@@ -163,7 +163,12 @@ def test_spline_filter_matches_scipy():
 
 def test_map_coordinates_nearest_exact_with_border():
     """mode='nearest' matches scipy everywhere in-domain (prefilter
-    extension = edge replication)."""
+    extension = edge replication, sampled with a margin-extended
+    coefficient array — clamping taps to cropped coefficients is
+    wrong by ~0.2 within 1 px of the border). Tolerance is scipy's
+    OWN truncation: it pre-pads by only 12 samples
+    (_interpolation.py:212-226), leaving ~|z1|^12 ~ 1e-7 boundary
+    error vs the exact edge-extended spline computed here."""
     rng = np.random.default_rng(12)
     img = rng.standard_normal((32, 45))
     coords = np.stack([rng.uniform(0, 31, (300,)),
@@ -172,7 +177,18 @@ def test_map_coordinates_nearest_exact_with_border():
     got = np.asarray(interp.map_coordinates(jnp.asarray(img),
                                             jnp.asarray(coords),
                                             order=3, mode="nearest"))
-    assert np.abs(got - ref).max() < 1e-10
+    assert np.abs(got - ref).max() < 1e-6
+    # DOCUMENTED DEVIATION (PARITY.md): out-of-domain coordinates
+    # evaluate at the edge-clamped position; scipy evaluates the
+    # edge-extended spline out to its 12-sample pad. The two agree at
+    # the domain edge and differ only outside the image.
+    oob = np.array([[-3.7, 35.2, 10.0], [5.0, 50.0, -0.4]])
+    clamped = np.stack([np.clip(oob[0], 0, 31), np.clip(oob[1], 0, 44)])
+    ref2 = ndi.map_coordinates(img, clamped, order=3, mode="nearest")
+    got2 = np.asarray(interp.map_coordinates(jnp.asarray(img),
+                                             jnp.asarray(oob),
+                                             order=3, mode="nearest"))
+    assert np.abs(got2 - ref2).max() < 1e-6
 
 
 def test_map_coordinates_cubic_accuracy():
