@@ -325,9 +325,10 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
 
 
 def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
-                    b1r_ref, b1i_ref, ph_ref, w_ref,
-                    t_ref, tlo_ref, oa_ref, or_ref, oi_ref, *,
-                    precision, emit_dr):
+                    b1r_ref, b1i_ref, b1rs_ref, b1is_ref, ph_ref, w_ref,
+                    t_ref, tlo_ref, oa_ref, or_ref, oi_ref,
+                    la_ref, lx_ref, *,
+                    precision, emit_dr, screen):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
     what make_displacement_extractor consumes). Single-chunk: the
@@ -380,6 +381,83 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             thi = t[:, :2 * W1]
             b1r_hi, b1r_lo = _split_bf16(b1r_ref[g])
             b1i_hi, b1i_lo = _split_bf16(b1i_ref[g])
+            bcat_r = jnp.concatenate([b1r_lo, b1r_hi], axis=1)
+            bcat_i = jnp.concatenate([b1i_lo, b1i_hi], axis=1)
+            if screen:
+                # SCREENING pass: evaluate every candidate only on a
+                # `screen`-subsampled column grid (still every row), a
+                # 1/screen-cost bf16 dot, and flag the candidates whose
+                # screened amplitude comes within _SCREEN_EPS of the
+                # co-located best anywhere in the tile. The lock-in
+                # amplitude envelope varies on the sigma~1/|dk| scale
+                # (tens of px), far wider than the `screen`-px sampling
+                # gap, so with the margin the per-pixel winner is
+                # flagged; a sub-margin flip picks an amplitude-
+                # equivalent near-tie (same class the bf16 pass-A
+                # tournament already permits, accuracy-gated on-chip).
+                sa_r = raw(thi, b1rs_ref[g].astype(jnp.bfloat16))
+                sa_i = raw(thi, b1is_ref[g].astype(jnp.bfloat16))
+                absqs = []
+                best_s = None
+                for i in range(P):
+                    sr_ = sa_r[i * R:(i + 1) * R]
+                    si_ = sa_i[i * R:(i + 1) * R]
+                    a = sr_ * sr_ + si_ * si_
+                    absqs.append(a)
+                    best_s = a if best_s is None else \
+                        jnp.maximum(best_s, a)
+                thr = best_s * (1.0 - _SCREEN_EPS)
+                flags = [jnp.any(absqs[i] >= thr) for i in range(P)]
+                # restricted full-res tournament over flagged
+                # candidates only (hi-only bf16 amplitudes, like the
+                # dense pass A); la/lx live in scratch because pl.when
+                # bodies mutate state through refs
+                la_ref[:] = jnp.full(la_ref.shape, -1.0, jnp.float32)
+                for i in range(P):
+                    @pl.when(flags[i])
+                    def _passA(i=i):
+                        sl = slice(i * R, (i + 1) * R)
+                        mr = raw(thi[sl], b1r_hi)
+                        mi = raw(thi[sl], b1i_hi)
+                        absq = mr * mr + mi * mi
+                        sel = absq > la_ref[:]
+                        la_ref[:] = jnp.where(sel, absq, la_ref[:])
+                        lx_ref[:] = jnp.where(sel, i, lx_ref[:])
+                lx = lx_ref[:]
+                # pass B: exact bf16x3 winners; the hi*hi dot is
+                # recomputed (pass A's restricted results aren't
+                # retained) + ONE deep cross-term dot via the
+                # [hi | lo] scratch layout.
+                for i in range(P):
+                    sel = lx == i
+
+                    @pl.when(jnp.any(sel))
+                    def _recompute(i=i, sel=sel):
+                        sl = slice(i * R, (i + 1) * R)
+                        mr = (raw(thi[sl], b1r_hi)
+                              + raw(t[sl], bcat_r))
+                        mi = (raw(thi[sl], b1i_hi)
+                              + raw(t[sl], bcat_i))
+                        oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
+                                              oa_ref[:])
+                        or_ref[:] = jnp.where(sel, mr, or_ref[:])
+                        oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
+                dr, n, m = emit_dr
+                R_, Cc = ph_ref.shape[1:]
+                r0 = pl.program_id(0) * R_
+                c0 = pl.program_id(1) * Cc
+                ph_ref[g] = _atan2(om_i, om_r)
+                ii = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_, Cc), 0) + r0
+                jj = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_, Cc), 1) + c0
+                interior = ((ii >= dr) & (ii < n - dr)
+                            & (jj >= dr) & (jj < m - dr))
+                mask = jnp.where(interior, 1.0 + 1e-6,
+                                 1e-6).astype(w_ref.dtype)
+                w_ref[g] = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
+                continue
             mall_r = raw(thi, b1r_hi)
             mall_i = raw(thi, b1i_hi)
             mr0 = mall_r[:R]
@@ -399,8 +477,6 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             # into ONE deep dot against [b_lo | b_hi] thanks to the
             # [hi | lo] scratch layout — 2 MXU calls per winner
             # instead of 6.
-            bcat_r = jnp.concatenate([b1r_lo, b1r_hi], axis=1)
-            bcat_i = jnp.concatenate([b1i_lo, b1i_hi], axis=1)
             for i in range(P):
                 sel = lx == i
 
@@ -442,17 +518,36 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
         w_ref[g] = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
 
 
+# Screening-pass knobs (HIGH-precision grouped sweep). _SCREEN is the
+# column-subsample factor of the cheap candidate-flagging dot (4 keeps
+# the screen dot's lane dim at cols/4 = 128); _SCREEN_EPS the relative
+# amplitude margin for flagging — a candidate is evaluated at full
+# resolution iff its screened |M|^2 reaches (1-eps) x the co-located
+# best anywhere in the (rows, cols) tile. 0 disables screening.
+# Default OFF until the on-chip A/B validates speed + accuracy gates
+# (flip to 4 once /tmp/exp_screen.py-style measurement lands).
+_SCREEN = 0
+_SCREEN_EPS = 0.1
+
+
 @partial(jax.jit,
          static_argnames=("rows", "cols", "precision", "interpret",
-                          "dr"))
+                          "dr", "screen"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                              A1ss, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
-                             rows=None, cols=None, interpret=False):
+                             rows=None, cols=None, interpret=False,
+                             screen=None):
     """Multi-peak emit-only sweep driver: G peaks, each with its own
     (W0, W1) spectrum window, candidate bank and DFT bases, in one
     pallas launch. Returns (phase (G, n, m), weight (G, n, m)) — the
-    make_displacement_extractor hot path."""
+    make_displacement_extractor hot path.
+
+    screen: column-subsample factor of the candidate screening pass
+    (HIGH precision only; None = _SCREEN default, 0 disables). The
+    full-resolution tournament then runs only over candidates that
+    can win somewhere in each tile (typically 3-8 of P), cutting the
+    dominant pass-A MXU cost ~P/(P/screen + flagged)."""
     G, P, W0 = gxs.shape
     W1 = Srs.shape[2]
     n = A0cs.shape[1]
@@ -464,6 +559,10 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     cols = cols or max(b for b in (128, _COLS, 512) if m % b == 0)
     grid = (n // rows, m // cols)
     high = precision == jax.lax.Precision.HIGH
+    if screen is None:
+        screen = _SCREEN
+    if not high or cols % max(screen, 1) or P < 8:
+        screen = 0
     B1r = jnp.concatenate([A1cs, -A1ss], axis=2)   # (G, m, 2*W1)
     B1i = jnp.concatenate([A1ss, A1cs], axis=2)
 
@@ -471,11 +570,28 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    if screen:
+        # every screen-th column of the basis (reshape+slice, not a
+        # strided slice, which relayouts poorly on TPU)
+        B1rs = B1r.reshape(G, m // screen, screen, 2 * W1)[:, :, 0]
+        B1is = B1i.reshape(G, m // screen, screen, 2 * W1)[:, :, 0]
+        sspec = pl.BlockSpec((G, cols // screen, 2 * W1),
+                             lambda r, c: (0, c, 0),
+                             memory_space=pltpu.VMEM)
+        la_scr = pltpu.VMEM((rows, cols), jnp.float32)
+        lx_scr = pltpu.VMEM((rows, cols), jnp.int32)
+    else:
+        B1rs = B1is = jnp.zeros((8, 128), Srs.dtype)
+        sspec = pl.BlockSpec((8, 128), lambda r, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+        la_scr = pltpu.VMEM((8, 128), jnp.float32)
+        lx_scr = pltpu.VMEM((8, 128), jnp.int32)
+
     gplane = pl.BlockSpec((G, rows, cols), lambda r, c: (0, r, c),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
-                emit_dr=(int(dr), n, m)),
+                emit_dr=(int(dr), n, m), screen=screen),
         grid=grid,
         in_specs=[const((G, W0, W1)), const((G, W0, W1)),
                   const((G, P, W0)), const((G, P, W1)),
@@ -488,7 +604,8 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, cols, 2 * W1),
                                lambda r, c: (0, c, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  sspec, sspec],
         out_specs=(gplane, gplane),
         out_shape=(jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
                    jax.ShapeDtypeStruct((G, n, m), Srs.dtype)),
@@ -499,11 +616,12 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
             pltpu.VMEM((8, 128), jnp.bfloat16),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
-            pltpu.VMEM((rows, cols), jnp.float32)],
+            pltpu.VMEM((rows, cols), jnp.float32),
+            la_scr, lx_scr],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Srs, Sis, gxs, gys, A0cs, A0ss, B1r, B1i)
+    )(Srs, Sis, gxs, gys, A0cs, A0ss, B1r, B1i, B1rs, B1is)
     return out
 
 

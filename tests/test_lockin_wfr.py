@@ -276,3 +276,74 @@ def test_wfr4_zoom_matches_full_fft(small_lattice):
     dgrad = np.abs(np.asarray(gz["grad"])[sl][same]
                    - np.asarray(gf["grad"])[sl][same])
     assert np.quantile(dgrad, 0.99) < 5e-3
+
+
+def test_grouped_sweep_screening_equivalence():
+    """The screened grouped sweep (cheap column-subsampled candidate
+    flagging + restricted full-res tournament) equals the unscreened
+    kernel on a real lattice sweep: the lock-in amplitude envelope
+    varies on the sigma scale, far wider than the screen sampling gap,
+    so every per-pixel winner is flagged (interpret mode on CPU)."""
+    import jax
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops import wfr as W
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep_grouped
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  kappa=1.001, psi=10.0,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta, kappa=1.001, psi=10.0))[:2]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    dr = 2 * sigma
+    kw = knorms.mean() / 2.5
+    kstep = kw / 2
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    pmin = min(w.shape[0] for w in wlists)
+    wlists = [w[:pmin] for w in wlists]
+    assert pmin >= 8   # below 8 candidates screening disables itself
+
+    img0 = jnp.asarray(img - img.mean())
+    spectrum = jnp.fft.fft2(img0)
+    plans = [W._plan_zoom((size, size), w, float(sigma))
+             for w in wlists]
+    assert all(p is not None for p in plans)
+    n = m = size
+    rdt = jnp.float32
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
+    idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
+    wl = jnp.asarray(np.stack(wlists))
+    S = jax.vmap(lambda i0, i1: jnp.take(
+        jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
+    A0c, A0s = jax.vmap(lambda i: W._zoom_basis(n, i, rdt))(idx0s)
+    A1c, A1s = jax.vmap(lambda i: W._zoom_basis(m, i, rdt))(idx1s)
+    f0 = jnp.where(idx0s < n // 2 + n % 2, idx0s,
+                   idx0s - n).astype(rdt) / n
+    f1 = jnp.where(idx1s < m // 2 + m % 2, idx1s,
+                   idx1s - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wr = wl.astype(rdt)
+    gxs = jnp.exp(-s2 * (f0[:, None, :] + wr[:, :, 0:1]) ** 2)
+    gys = jnp.exp(-s2 * (f1[:, None, :] + wr[:, :, 1:2]) ** 2)
+
+    kw_args = dict(dr=int(dr), precision=jax.lax.Precision.HIGH,
+                   interpret=True)
+    ph0, w0 = fused_zoom_sweep_grouped(
+        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
+        screen=0, **kw_args)
+    ph1, w1 = fused_zoom_sweep_grouped(
+        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
+        screen=4, **kw_args)
+    dphi = np.abs((np.asarray(ph1 - ph0) + np.pi) % (2 * np.pi)
+                  - np.pi)
+    assert (dphi > 1e-3).mean() < 1e-4
+    assert np.allclose(np.asarray(w1), np.asarray(w0), rtol=1e-4,
+                       atol=1e-7)
