@@ -349,12 +349,30 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             si = si_ref[g]
             a0c = a0c_ref[g]
             a0s = a0s_ref[g]
+            # BATCHED first stage: T_i = ((A0 . gx_i) @ S) . gy_i —
+            # the spectrum window is shared by every candidate and the
+            # Gaussian bandpass is rank-1, so the P per-candidate
+            # (R, W0) @ (W0, W1) dots collapse into 4 stacked
+            # (P*R, W0) @ (W0, W1) dots (12 MXU passes at bf16x3)
+            # plus VPU row/column scalings; the column factor gy_i is
+            # applied to the f32 accumulator AFTER the dot (exact,
+            # where the per-candidate form rounds it into the bf16
+            # operand split).
+            a0cg = jnp.concatenate(
+                [a0c * gx_ref[g, i][None, :] for i in range(P)],
+                axis=0)                                # (P*R, W0)
+            a0sg = jnp.concatenate(
+                [a0s * gx_ref[g, i][None, :] for i in range(P)],
+                axis=0)
+            cr = dot(a0cg, sr, _D01)                   # (P*R, W1)
+            cs = dot(a0cg, si, _D01)
+            ssr = dot(a0sg, sr, _D01)
+            ssi = dot(a0sg, si, _D01)
             for i in range(P):
-                gg = gx_ref[g, i][:, None] * gy_ref[g, i][None, :]
-                swr = gg * sr
-                swi = gg * si
-                tr = dot(a0c, swr, _D01) - dot(a0s, swi, _D01)
-                ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
+                sl = slice(i * R, (i + 1) * R)
+                gyi = gy_ref[g, i][None, :]
+                tr = (cr[sl] - ssi[sl]) * gyi
+                ti = (cs[sl] + ssr[sl]) * gyi
                 s = (g * P + i) * R
                 if high:
                     # single [hi | lo] scratch: lanes [0, 2*W1) hold

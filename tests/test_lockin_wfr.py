@@ -347,3 +347,53 @@ def test_grouped_sweep_screening_equivalence():
     assert (dphi > 1e-3).mean() < 1e-4
     assert np.allclose(np.asarray(w1), np.asarray(w0), rtol=1e-4,
                        atol=1e-7)
+
+
+def test_grouped_sweep_matches_oracle():
+    """The grouped multi-peak kernel (batched stage-1: stacked
+    (P*R, W0) row-basis dot + post-dot column scaling) matches a
+    float64 numpy per-candidate oracle at HIGHEST precision
+    (interpret mode on CPU)."""
+    import jax
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep_grouped
+
+    rng = np.random.default_rng(1)
+    G, P, W0, W1, n, m = 2, 5, 32, 32, 128, 128
+    Srs = jnp.asarray(rng.normal(size=(G, W0, W1)), jnp.float32)
+    Sis = jnp.asarray(rng.normal(size=(G, W0, W1)), jnp.float32)
+    gxs = jnp.asarray(rng.uniform(0.1, 1, size=(G, P, W0)),
+                      jnp.float32)
+    gys = jnp.asarray(rng.uniform(0.1, 1, size=(G, P, W1)),
+                      jnp.float32)
+    A0c = jnp.asarray(rng.normal(size=(G, n, W0)), jnp.float32)
+    A0s = jnp.asarray(rng.normal(size=(G, n, W0)), jnp.float32)
+    A1c = jnp.asarray(rng.normal(size=(G, m, W1)), jnp.float32)
+    A1s = jnp.asarray(rng.normal(size=(G, m, W1)), jnp.float32)
+    dr = 12
+    ph, w = fused_zoom_sweep_grouped(
+        Srs, Sis, gxs, gys, A0c, A0s, A1c, A1s, dr=dr,
+        precision=jax.lax.Precision.HIGHEST, interpret=True, screen=0)
+    ph, w = np.asarray(ph), np.asarray(w)
+    for g in range(G):
+        ra = np.zeros((n, m))
+        rr = np.zeros((n, m))
+        ri = np.zeros((n, m))
+        A0 = np.array(A0c[g], np.float64) + 1j * np.array(A0s[g])
+        A1 = np.array(A1c[g], np.float64) + 1j * np.array(A1s[g])
+        S0 = np.array(Srs[g], np.float64) + 1j * np.array(Sis[g])
+        for i in range(P):
+            gg = (np.array(gxs[g, i], np.float64)[:, None]
+                  * np.array(gys[g, i], np.float64))
+            M = A0 @ (gg * S0) @ A1.T
+            absq = M.real ** 2 + M.imag ** 2
+            t = absq > ra
+            ra = np.where(t, absq, ra)
+            rr = np.where(t, M.real, rr)
+            ri = np.where(t, M.imag, ri)
+        mask = np.full((n, m), 1e-6)
+        mask[dr:-dr, dr:-dr] = 1.0 + 1e-6
+        dphi = np.abs(((ph[g] - np.arctan2(ri, rr)) + np.pi)
+                      % (2 * np.pi) - np.pi)
+        assert (dphi > 1e-3).mean() == 0.0
+        assert np.allclose(w[g], np.sqrt(ra) * mask, rtol=1e-4,
+                           atol=1e-6)
