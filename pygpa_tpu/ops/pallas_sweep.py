@@ -99,23 +99,35 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
     def _stage1():
         a0c = a0c_ref[:]                  # (R, W0) row basis block
         a0s = a0s_ref[:]
+        # BATCHED first stage (see _grouped_kernel): the spectrum
+        # window is shared and the Gaussian bandpass is rank-1, so the
+        # C per-candidate dots collapse into 4 stacked (C*R, W0) dots
+        # per source window, with gx folded into the row basis and gy
+        # applied exactly to the f32 accumulator.
+        a0cg = jnp.concatenate(
+            [a0c * gx_ref[i][None, :] for i in range(C)], axis=0)
+        a0sg = jnp.concatenate(
+            [a0s * gx_ref[i][None, :] for i in range(C)], axis=0)
         # (window, destination scratch) pairs: the lock-in spectrum
         # window and, on the grad path, the row-derivative window S2 =
         # (2 pi i f0) * S whose second stage yields dM/d(row).
         srcs = [(sr_ref[:], si_ref[:], t_ref, tlo_ref)]
         if emit_grad:
             srcs.append((s2r_ref[:], s2i_ref[:], tx_ref, txlo_ref))
-        for i in range(C):
-            g = gx_ref[i][:, None] * gy_ref[i][None, :]
-            for (xr, xi, dst, dstlo) in srcs:
-                swr = g * xr
-                swi = g * xi
-                # T_i = (A0c + i A0s) @ (swr + i swi); contraction W0
-                tr = dot(a0c, swr, _D01) - dot(a0s, swi, _D01)
-                ti = dot(a0c, swi, _D01) + dot(a0s, swr, _D01)
+        for (xr, xi, dst, dstlo) in srcs:
+            cr = dot(a0cg, xr, _D01)       # (C*R, W1)
+            cs = dot(a0cg, xi, _D01)
+            ssr = dot(a0sg, xr, _D01)
+            ssi = dot(a0sg, xi, _D01)
+            for i in range(C):
+                sl = slice(i * R, (i + 1) * R)
+                gyi = gy_ref[i][None, :]
+                tr = (cr[sl] - ssi[sl]) * gyi
+                ti = (cs[sl] + ssr[sl]) * gyi
                 if high:
-                    # store bf16 hi/lo once — the per-step second stage
-                    # then reads half the bytes and skips re-splitting
+                    # store bf16 hi/lo once — the per-step second
+                    # stage then reads half the bytes and skips
+                    # re-splitting
                     rhi, rlo = _split_bf16(tr)
                     ihi, ilo = _split_bf16(ti)
                     dst[i * R:(i + 1) * R, :W1] = rhi
