@@ -83,12 +83,12 @@ def _split_bf16(x):
 
 def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             a0c_ref, a0s_ref, b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
-            base_ref,
+            b1rs_ref, b1is_ref, base_ref,
             ba_ref, br_ref, bi_ref, bx_ref, bgx_ref, bgy_ref,
             oa_ref, or_ref, oi_ref, ox_ref, ogx_ref, ogy_ref,
             ph_ref, w_ref,
-            t_ref, tlo_ref, tx_ref, txlo_ref, *,
-            precision, emit_dr, emit_grad):
+            t_ref, tlo_ref, tx_ref, txlo_ref, la_ref, lx_ref, *,
+            precision, emit_dr, emit_grad, screen):
     C = gx_ref.shape[0]
     R = a0c_ref.shape[0]
     W1 = sr_ref.shape[1]
@@ -177,19 +177,53 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         # local — bf16 values are never compared against the exact
         # carries, so multi-chunk sweeps carry no earlier-chunk bias:
         # only exact pass-B values cross chunk boundaries below.
-        mall_r = raw(thi, b1r_hi)
-        mall_i = raw(thi, b1i_hi)
-        mr0 = mall_r[:R]
-        mi0 = mall_i[:R]
-        la = mr0 * mr0 + mi0 * mi0
-        lx = jnp.full(la.shape, base, jnp.int32)
-        for i in range(1, C):
-            mr = mall_r[i * R:(i + 1) * R]
-            mi = mall_i[i * R:(i + 1) * R]
-            absq = mr * mr + mi * mi
-            sel = absq > la
-            la = jnp.where(sel, absq, la)
-            lx = jnp.where(sel, base + i, lx)
+        mall = None
+        if screen:
+            # SCREENING (see _grouped_kernel): flag candidates on a
+            # column-subsampled dot, then run the full-res tournament
+            # only over flagged ones, via la/lx scratch (pl.when
+            # bodies mutate state through refs). lx holds GLOBAL
+            # candidate indices so the carry merge below is unchanged.
+            sa_r = raw(thi, b1rs_ref[:].astype(jnp.bfloat16))
+            sa_i = raw(thi, b1is_ref[:].astype(jnp.bfloat16))
+            absqs = []
+            best_s = None
+            for i in range(C):
+                sr_ = sa_r[i * R:(i + 1) * R]
+                si_ = sa_i[i * R:(i + 1) * R]
+                a = sr_ * sr_ + si_ * si_
+                absqs.append(a)
+                best_s = a if best_s is None else \
+                    jnp.maximum(best_s, a)
+            thr = best_s * (1.0 - _SCREEN_EPS)
+            flags = [jnp.any(absqs[i] >= thr) for i in range(C)]
+            la_ref[:] = jnp.full(la_ref.shape, -1.0, jnp.float32)
+            for i in range(C):
+                @pl.when(flags[i])
+                def _passA(i=i):
+                    sl = slice(i * R, (i + 1) * R)
+                    mr = raw(thi[sl], b1r_hi)
+                    mi = raw(thi[sl], b1i_hi)
+                    absq = mr * mr + mi * mi
+                    sel = absq > la_ref[:]
+                    la_ref[:] = jnp.where(sel, absq, la_ref[:])
+                    lx_ref[:] = jnp.where(sel, base + i, lx_ref[:])
+            lx = lx_ref[:]
+        else:
+            mall_r = raw(thi, b1r_hi)
+            mall_i = raw(thi, b1i_hi)
+            mall = (mall_r, mall_i)
+            mr0 = mall_r[:R]
+            mi0 = mall_i[:R]
+            la = mr0 * mr0 + mi0 * mi0
+            lx = jnp.full(la.shape, base, jnp.int32)
+            for i in range(1, C):
+                mr = mall_r[i * R:(i + 1) * R]
+                mi = mall_i[i * R:(i + 1) * R]
+                absq = mr * mr + mi * mi
+                sel = absq > la
+                la = jnp.where(sel, absq, la)
+                lx = jnp.where(sel, base + i, lx)
         # PASS B — exact bf16x3 recompute of ONLY the in-chunk winners
         # (typically 1-3 of C): 1 + ~3*3/C effective MXU passes instead
         # of 3. Every pixel selects exactly one candidate, so the o
@@ -200,11 +234,16 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             @pl.when(jnp.any(sel))
             def _recompute(i=i, sel=sel):
                 sl = slice(i * R, (i + 1) * R)
-                # hi*hi term is pass A's dot — reuse it, add the two
-                # bf16x3 cross terms (4 MXU calls/winner, not 6)
-                mr = (mall_r[sl] + raw(thi[sl], b1r_lo)
+                # hi*hi term is pass A's dot — reused when the dense
+                # pass A ran, recomputed under the screening path —
+                # plus the two bf16x3 cross terms
+                hh_r = (mall[0][sl] if mall is not None
+                        else raw(thi[sl], b1r_hi))
+                hh_i = (mall[1][sl] if mall is not None
+                        else raw(thi[sl], b1i_hi))
+                mr = (hh_r + raw(thi[sl], b1r_lo)
                       + raw(tlo[sl], b1r_hi))
-                mi = (mall_i[sl] + raw(thi[sl], b1i_lo)
+                mi = (hh_i + raw(thi[sl], b1i_lo)
                       + raw(tlo[sl], b1i_hi))
                 oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
                                       oa_ref[:])
@@ -657,14 +696,14 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
 
 @partial(jax.jit,
          static_argnames=("n", "m", "rows", "cols", "precision",
-                          "interpret", "emit_dr"))
+                          "interpret", "emit_dr", "screen"))
 def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                            base_idx, best_absq, best_r, best_i,
                            best_idx, S2r=None, S2i=None, B1yr=None,
                            B1yi=None, best_gx=None, best_gy=None,
                            *, n, m, rows=None, cols=None,
                            precision=jax.lax.Precision.HIGHEST,
-                           interpret=False, emit_dr=None):
+                           interpret=False, emit_dr=None, screen=None):
     """Run one chunk of C candidates through the fully-fused sweep,
     updating the carry planes in place (donated/aliased).
 
@@ -685,6 +724,10 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
     cols = cols or max(b for b in (128, _COLS) if m % b == 0)
     grid = (n // rows, m // cols)
     high = precision == jax.lax.Precision.HIGH
+    if screen is None:
+        screen = _SCREEN
+    if not high or cols % max(screen, 1) or C < 8:
+        screen = 0
 
     def const(shape):
         return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
@@ -709,9 +752,22 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
     g_spec = plane() if emit_grad else dummy_spec()
     if not emit_grad:
         S2r = S2i = B1yr = B1yi = best_gx = best_gy = dummy
-    aliases = {13: 0, 14: 1, 15: 2, 16: 3}
+    if screen:
+        B1rs = B1r.reshape(m // screen, screen, 2 * W1)[:, 0]
+        B1is = B1i.reshape(m // screen, screen, 2 * W1)[:, 0]
+        sspec = pl.BlockSpec((cols // screen, 2 * W1),
+                             lambda r, c: (c, 0),
+                             memory_space=pltpu.VMEM)
+        la_scr = pltpu.VMEM((rows, cols), jnp.float32)
+        lx_scr = pltpu.VMEM((rows, cols), jnp.int32)
+    else:
+        B1rs = B1is = dummy
+        sspec = dummy_spec()
+        la_scr = pltpu.VMEM((8, 128), jnp.float32)
+        lx_scr = pltpu.VMEM((8, 128), jnp.int32)
+    aliases = {15: 0, 16: 1, 17: 2, 18: 3}
     if emit_grad:
-        aliases.update({17: 4, 18: 5})
+        aliases.update({19: 4, 20: 5})
 
     t_scr = pltpu.VMEM((C * rows, 2 * W1),
                        jnp.bfloat16 if high else jnp.float32)
@@ -726,7 +782,7 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
 
     out = pl.pallas_call(
         partial(_kernel, precision=precision, emit_dr=emit_dr,
-                emit_grad=emit_grad),
+                emit_grad=emit_grad, screen=screen),
         grid=grid,
         in_specs=[const((W0, W1)), const((W0, W1)),
                   const(S2r.shape) if emit_grad else dummy_spec(),
@@ -739,6 +795,7 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                   colspec, colspec,
                   colspec if emit_grad else dummy_spec(),
                   colspec if emit_grad else dummy_spec(),
+                  sspec, sspec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   plane(), plane(), plane(), plane(),
                   g_spec, g_spec],
@@ -753,13 +810,15 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                    jax.ShapeDtypeStruct(ph_shape, best_absq.dtype),
                    jax.ShapeDtypeStruct(ph_shape, best_absq.dtype)),
         input_output_aliases=aliases,
-        scratch_shapes=[t_scr, tlo_scr, tx_scr, txlo_scr],
+        scratch_shapes=[t_scr, tlo_scr, tx_scr, txlo_scr, la_scr,
+                        lx_scr],
         # the candidate partials live in VMEM scratch for the whole
         # row block — budget beyond the 16MB default (v5e has 128MB)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Sr, Si, S2r, S2i, gx, gy, A0c, A0s, B1r, B1i, B1yr, B1yi,
+      B1rs, B1is,
       jnp.asarray([base_idx], jnp.int32).reshape(1),
       best_absq, best_r, best_i, best_idx, best_gx, best_gy)
     return out
@@ -768,7 +827,7 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
 def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
                      precision=jax.lax.Precision.HIGHEST,
                      max_chunk=48, interpret=False, emit_dr=None,
-                     grad_ops=None):
+                     grad_ops=None, screen=None):
     """Whole-sweep driver: splits the P candidates into VMEM-sized
     chunks (unrolled Python loop, one pallas_call each — usually one)
     and returns (best_absq, best_r, best_i, best_idx
@@ -814,7 +873,7 @@ def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
                 Sr, Si, gx[s:e], gy[s:e], A0c, A0s, B1r, B1i, s,
                 best_absq, best_r, best_i, best_idx, n=n, m=m,
                 precision=precision, interpret=interpret, emit_dr=ed,
-                **gkw)
+                screen=screen, **gkw)
         if grad_ops is not None:
             gkw["best_gx"] = bgx
             gkw["best_gy"] = bgy
