@@ -349,6 +349,70 @@ def test_grouped_sweep_screening_equivalence():
                        atol=1e-7)
 
 
+def test_single_sweep_screening_equivalence():
+    """Single-peak kernel with screening (la/lx scratch tournament,
+    pass-B hi*hi recompute) matches the unscreened path bit-for-bit on
+    a lattice sweep, on both the plain and the gradient-emitting
+    entries (interpret mode on CPU)."""
+    import jax
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops import wfr as W
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=2, size=size,
+                                  kappa=1.001, psi=10.0,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta, kappa=1.001, psi=10.0))[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    pk = ks[0]
+    kw = knorms.mean() / 2.5
+    kstep = kw / 4
+    wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+    wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+    wlist = np.stack([wx.ravel(), wy.ravel()], -1)
+    assert wlist.shape[0] >= 8
+
+    img0 = jnp.asarray(img - img.mean())
+    spectrum = jnp.fft.fft2(img0)
+    plan = W._plan_zoom((size, size), wlist, float(sigma))
+    assert plan is not None
+    n = m = size
+    rdt = jnp.float32
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    idx0, idx1 = jnp.asarray(plan[0]), jnp.asarray(plan[1])
+    S = jnp.take(jnp.take(spectrum, idx0, axis=0), idx1, axis=1)
+    A0c, A0s = W._zoom_basis(n, idx0, rdt)
+    A1c, A1s = W._zoom_basis(m, idx1, rdt)
+    f0 = jnp.where(idx0 < n // 2 + n % 2, idx0,
+                   idx0 - n).astype(rdt) / n
+    f1 = jnp.where(idx1 < m // 2 + m % 2, idx1,
+                   idx1 - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wr = jnp.asarray(wlist, rdt)
+    gx = jnp.exp(-s2 * (f0[None, :] + wr[:, 0:1]) ** 2)
+    gy = jnp.exp(-s2 * (f1[None, :] + wr[:, 1:2]) ** 2)
+    tp = 2 * np.pi
+    gops = (-tp * f0[:, None] * S.imag * scale,
+            tp * f0[:, None] * S.real * scale,
+            -tp * f1[None, :] * A1s, tp * f1[None, :] * A1c)
+
+    kw_args = dict(precision=jax.lax.Precision.HIGH, interpret=True)
+    for extra in ({}, {"grad_ops": gops}):
+        o0 = fused_zoom_sweep(S.real * scale, S.imag * scale, gx, gy,
+                              A0c, A0s, A1c, A1s, screen=0,
+                              **extra, **kw_args)
+        o1 = fused_zoom_sweep(S.real * scale, S.imag * scale, gx, gy,
+                              A0c, A0s, A1c, A1s, screen=4,
+                              **extra, **kw_args)
+        for a, b in zip(o0, o1):
+            np.testing.assert_array_equal(np.asarray(a),
+                                          np.asarray(b))
+
+
 def test_grouped_sweep_matches_oracle():
     """The grouped multi-peak kernel (batched stage-1: stacked
     (P*R, W0) row-basis dot + post-dot column scaling) matches a
