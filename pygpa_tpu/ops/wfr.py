@@ -500,7 +500,8 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
 
 
 @partial(jax.jit, static_argnames=("sigma", "dr"))
-def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr):
+def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
+                               screen=None):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
     kernel): per group its own spectrum window, Gaussian factors and
     DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1)."""
@@ -522,11 +523,11 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr):
     from .pallas_sweep import fused_zoom_sweep_grouped
     return fused_zoom_sweep_grouped(
         S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
-        dr=int(dr), precision=_ZOOM_PRECISION)
+        dr=int(dr), precision=_ZOOM_PRECISION, screen=screen)
 
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
-                                 spectrum=None):
+                                 spectrum=None, screen=None):
     """Demodulated winner phases + rim-masked weights for ALL Bragg
     peaks of a pipeline sweep. On the fused TPU path the G sweeps run
     as ONE grouped kernel launch (no per-peak launch overhead; group
@@ -557,7 +558,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
         idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
         idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
         return _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s,
-                                          float(sigma), int(dr))
+                                          float(sigma), int(dr),
+                                          screen=screen)
     phs, wts = [], []
     for w in wlists:
         # kref is unused on the demod (rebase=False) path
