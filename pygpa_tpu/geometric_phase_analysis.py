@@ -18,7 +18,7 @@ from .gpa.pipeline import (  # noqa: F401
 )
 from .gpa.peaks import (  # noqa: F401
     extract_primary_ks, select_closest_to_triangle, smallest_sum,
-    remove_negative_duplicates,
+    remove_negative_duplicates, _decrease_threshold,
 )
 from .gpa.kgeometry import (  # noqa: F401
     average_lattice_vector, calc_diff_from_isotropic, ratio2angle,
