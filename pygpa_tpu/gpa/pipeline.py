@@ -78,17 +78,6 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
     xx = xx.astype(us.dtype)
     yy = yy.astype(us.dtype)
     mg = 1 if (order == 3 and mode == "nearest") else 0
-    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1), margin=mg) \
-        if order == 3 else us
-
-    def body(_, u_it):
-        coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
-        return jnp.stack([
-            interp.map_coordinates(usf[0], coords, order=order, mode=mode,
-                                   prefilter=False, margin=mg),
-            interp.map_coordinates(usf[1], coords, order=order, mode=mode,
-                                   prefilter=False, margin=mg),
-        ])
 
     if coarse > 1:
         from ..solvers.unwrap import _resize_right, _sep2
@@ -148,6 +137,21 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
             return u_it + du
 
         return jax.lax.fori_loop(0, refine_iters, body1, u0)
+
+    # prefilter only on the non-coarse path (the coarse branch above
+    # resamples raw `us` at order 1 and never touches the spline
+    # coefficients — computing them there is pure waste in eager mode)
+    usf = interp.spline_filter(us, mode=mode, axes=(-2, -1), margin=mg) \
+        if order == 3 else us
+
+    def body(_, u_it):
+        coords = jnp.stack([xx + u_it[0], yy + u_it[1]])
+        return jnp.stack([
+            interp.map_coordinates(usf[0], coords, order=order, mode=mode,
+                                   prefilter=False, margin=mg),
+            interp.map_coordinates(usf[1], coords, order=order, mode=mode,
+                                   prefilter=False, margin=mg),
+        ])
 
     base = jnp.stack([
         interp.map_coordinates(usf[0], jnp.stack([xx, yy]), order=order,
@@ -263,7 +267,8 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
             # all Bragg peaks in one grouped kernel launch on the
             # fused TPU path; per-peak sweeps elsewhere
             phases_demod, weights = wfr_sweep_phase_weight_multi(
-                img0, wlists_h, sig, dr, spectrum=spectrum)
+                img0, wlists_h, sig, dr, spectrum=spectrum,
+                chunk=chunk)
         with jax.named_scope("gpa.reconstruct"):
             u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
                                              kmax=unwrap_kmax,

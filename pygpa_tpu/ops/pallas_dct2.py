@@ -106,8 +106,8 @@ def _dots(precision, sublane=False):
 
 def _lane_math(x, consts, inverse, precision):
     """Pure-array lane-axis DCT math on an (R, q, 128) view (flat
-    (R, n)); shared by the standalone kernels and the fused Poisson
-    kernel (ops/pallas_poisson.py)."""
+    (R, n)); factored out of the kernel bodies so forward and inverse
+    share one implementation."""
     uc, us, vc, vs, wc, ws = consts
     ein = _dots(precision)
     if not inverse:
@@ -194,7 +194,8 @@ def idct_lane(y, precision=jax.lax.Precision.HIGHEST, interpret=None):
 
 def _sub_math(x, consts, inverse, precision):
     """Pure-array sublane-axis DCT math on a (q, 128, m) view (flat
-    (n, m)); shared with the fused Poisson kernel."""
+    (n, m)); factored out of the kernel bodies so forward and inverse
+    share one implementation."""
     uc, us, vc, vs, wc, ws = consts
     ein = _dots(precision, sublane=True)
     if not inverse:

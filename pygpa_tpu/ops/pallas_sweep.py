@@ -511,53 +511,38 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                                               oa_ref[:])
                         or_ref[:] = jnp.where(sel, mr, or_ref[:])
                         oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
-                oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
-                dr, n, m = emit_dr
-                R_, Cc = ph_ref.shape[1:]
-                r0 = pl.program_id(0) * R_
-                c0 = pl.program_id(1) * Cc
-                ph_ref[g] = _atan2(om_i, om_r)
-                ii = jax.lax.broadcasted_iota(
-                    jnp.int32, (R_, Cc), 0) + r0
-                jj = jax.lax.broadcasted_iota(
-                    jnp.int32, (R_, Cc), 1) + c0
-                interior = ((ii >= dr) & (ii < n - dr)
-                            & (jj >= dr) & (jj < m - dr))
-                mask = jnp.where(interior, 1.0 + 1e-6,
-                                 1e-6).astype(w_ref.dtype)
-                w_ref[g] = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
-                continue
-            mall_r = raw(thi, b1r_hi)
-            mall_i = raw(thi, b1i_hi)
-            mr0 = mall_r[:R]
-            mi0 = mall_i[:R]
-            la = mr0 * mr0 + mi0 * mi0
-            lx = jnp.zeros(la.shape, jnp.int32)
-            for i in range(1, P):
-                mr = mall_r[i * R:(i + 1) * R]
-                mi = mall_i[i * R:(i + 1) * R]
-                absq = mr * mr + mi * mi
-                sel = absq > la
-                la = jnp.where(sel, absq, la)
-                lx = jnp.where(sel, i, lx)
-            # pass B: exact bf16x3 for the winners only. The hi*hi
-            # term is pass A's mall_r/mall_i slice (bitwise the same
-            # dot); the two cross terms thi@blo + tlo@bhi collapse
-            # into ONE deep dot against [b_lo | b_hi] thanks to the
-            # [hi | lo] scratch layout — 2 MXU calls per winner
-            # instead of 6.
-            for i in range(P):
-                sel = lx == i
+            else:
+                mall_r = raw(thi, b1r_hi)
+                mall_i = raw(thi, b1i_hi)
+                mr0 = mall_r[:R]
+                mi0 = mall_i[:R]
+                la = mr0 * mr0 + mi0 * mi0
+                lx = jnp.zeros(la.shape, jnp.int32)
+                for i in range(1, P):
+                    mr = mall_r[i * R:(i + 1) * R]
+                    mi = mall_i[i * R:(i + 1) * R]
+                    absq = mr * mr + mi * mi
+                    sel = absq > la
+                    la = jnp.where(sel, absq, la)
+                    lx = jnp.where(sel, i, lx)
+                # pass B: exact bf16x3 for the winners only. The hi*hi
+                # term is pass A's mall_r/mall_i slice (bitwise the
+                # same dot); the two cross terms thi@blo + tlo@bhi
+                # collapse into ONE deep dot against [b_lo | b_hi]
+                # thanks to the [hi | lo] scratch layout — 2 MXU calls
+                # per winner instead of 6.
+                for i in range(P):
+                    sel = lx == i
 
-                @pl.when(jnp.any(sel))
-                def _recompute(i=i, sel=sel):
-                    sl = slice(i * R, (i + 1) * R)
-                    mr = mall_r[sl] + raw(t[sl], bcat_r)
-                    mi = mall_i[sl] + raw(t[sl], bcat_i)
-                    oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
-                                          oa_ref[:])
-                    or_ref[:] = jnp.where(sel, mr, or_ref[:])
-                    oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                    @pl.when(jnp.any(sel))
+                    def _recompute(i=i, sel=sel):
+                        sl = slice(i * R, (i + 1) * R)
+                        mr = mall_r[sl] + raw(t[sl], bcat_r)
+                        mi = mall_i[sl] + raw(t[sl], bcat_i)
+                        oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
+                                              oa_ref[:])
+                        or_ref[:] = jnp.where(sel, mr, or_ref[:])
+                        oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
             oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
         else:
             mall_r = dot(t, b1r_ref[g], _D11)

@@ -79,7 +79,7 @@ def _warp_kernel(pk_ref,
     w0 = jnp.concatenate([w00_ref[:], w10_ref[:], w20_ref[:]], axis=0)
     w1 = jnp.concatenate([w01_ref[:], w11_ref[:], w21_ref[:]], axis=0)
     w2 = jnp.concatenate([w02_ref[:], w12_ref[:], w22_ref[:]], axis=0)
-    w0 = jnp.concatenate([w0[:_TR], w0, w0[-_TR:]], axis=0)  # (112, 128)
+    w0 = jnp.concatenate([w0[:_TR], w0, w0[-_TR:]], axis=0)  # (160, 128)
     w1 = jnp.concatenate([w1[:_TR], w1, w1[-_TR:]], axis=0)
     w2 = jnp.concatenate([w2[:_TR], w2, w2[-_TR:]], axis=0)
 
@@ -94,8 +94,8 @@ def _warp_kernel(pk_ref,
     er = jnp.clip(iy_ref[:] - oy * _WR, 0, _NB * _WR - 2)
     ec = jnp.clip(ix_ref[:] - ox * _WC, 0, _NC * _WC - 2)
     # this tile's actual d_pix range (bit-packed with the window base,
-    # see the pk packing): for smooth fields ~10 of the 103 static
-    # iterations do real work
+    # see the pk packing): for smooth fields only ~_TR + a few of the
+    # 127 static iterations do real work
     smin = (jax.lax.shift_right_logical(v, jnp.int32(18)) & 127) - _TR
     smax = (jax.lax.shift_right_logical(v, jnp.int32(25)) & 127) - _TR
 

@@ -499,7 +499,7 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
     return jnp.angle(g["lockin"]).astype(rdt), weight
 
 
-@partial(jax.jit, static_argnames=("sigma", "dr"))
+@partial(jax.jit, static_argnames=("sigma", "dr", "screen"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
                                screen=None):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
@@ -527,7 +527,7 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
 
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
-                                 spectrum=None, screen=None):
+                                 spectrum=None, screen=None, chunk=8):
     """Demodulated winner phases + rim-masked weights for ALL Bragg
     peaks of a pipeline sweep. On the fused TPU path the G sweeps run
     as ONE grouped kernel launch (no per-peak launch overhead; group
@@ -564,7 +564,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
     for w in wlists:
         # kref is unused on the demod (rebase=False) path
         ph, wt = wfr_sweep_phase_weight(image, w, jnp.asarray(w)[0],
-                                        sigma, dr, spectrum=spectrum)
+                                        sigma, dr, spectrum=spectrum,
+                                        chunk=chunk)
         phs.append(ph)
         wts.append(wt)
     return jnp.stack(phs), jnp.stack(wts)

@@ -318,7 +318,11 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
         # residual gradients are small and unwrapped by construction
         rdx = dxc - jnp.diff(phi, axis=-1)
         rdy = dyc - jnp.diff(phi, axis=-2)
-        if isinstance(iters, str) and iters.startswith("v"):
+        if isinstance(iters, str):
+            if iters not in ("v", "vv"):
+                raise ValueError(
+                    f"schedule iters must be an int, 'v' or 'vv' "
+                    f"(got {iters!r}); check DEFAULTS.unwrap_mg_final")
             # fine-level V-branch: damped-Jacobi pre-smooth -> coarse-
             # grid correction of the smoothed residual with an EXACT
             # energy line search (alpha = <r,p>/<p,Qp> absorbs the
@@ -341,8 +345,8 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                 if precond_factory else None
             for j in range(rounds):
                 r2c = block_mean(r, n // cv, m // cv, cv)
-                dcor, _ = _cg_unwrap(r2c, WWxv, WWyv, 6, precision,
-                                     prev)
+                dcor, _ = _cg_unwrap(r2c, WWxv, WWyv, int(kmax),
+                                     precision, prev)
                 dcu = upsample(dcor, nc, mc)
                 q = _apply_q(dcu, WWx, WWy)
                 num = jnp.vdot(r, dcu).real.astype(dt)
