@@ -73,3 +73,21 @@ def test_weighted_unwrap_ignores_noisy_region():
     err = (res - psi0)[good]
     assert np.abs(err - err.mean()).max() < 1e-2
 
+
+
+def test_mg_schedule_knob_validation():
+    """A bad unwrap_mg_final-style string in the schedule raises a
+    helpful ValueError instead of a bare comparison TypeError."""
+    import pytest
+    from pygpa_tpu.solvers.unwrap import phase_unwrap_prediff_mg
+    dx = jnp.zeros((64, 63))
+    dy = jnp.zeros((63, 64))
+    w = jnp.ones((64, 64))
+    with pytest.raises(ValueError, match="unwrap_mg_final"):
+        phase_unwrap_prediff_mg(dx, dy, w,
+                                schedule=((4, 2), (1, "cg")))
+    # the valid spellings still run
+    for final in (1, "v", "vv"):
+        out = phase_unwrap_prediff_mg(dx, dy, w,
+                                      schedule=((4, 2), (1, final)))
+        assert out.shape == (64, 64)
