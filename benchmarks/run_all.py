@@ -84,6 +84,48 @@ def config2():
     return "WFR sweep pipeline, 1024^2 small-angle moire", \
         size * size / 1e6 / dt
 
+def config2g():
+    """Adaptive-GPA property extraction from kernel-emitted WFR phase
+    GRADIENTS (the reference's wfr2_grad_opt + property chain,
+    property_extract.py:234-255 / cuGPA.py:41-87): 3 grad sweeps ->
+    phasegradient2Jac -> local (theta, kappa, ...) maps, 4096^2."""
+    import jax
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import wfr_sweep
+    from pygpa_tpu.props.jacobians import calc_props_from_phasegradient
+    size = 4096
+    r_k = 0.02
+    img = hexlattice_gen(r_k, 5.0, order=2, size=size,
+                         kappa=1.005, psi=10.0, dtype=jnp.float32)
+    ks = np.asarray(generate_ks(r_k, 5.0, kappa=1.005, psi=10.0))[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    kw = knorms.mean() / 2.5
+    sigma = int(np.ceil(1 / knorms.min()))
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kw / 3)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kw / 3)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    kv = jnp.asarray(ks, jnp.float32)
+
+    @jax.jit
+    def step(image):
+        img0 = image - image.mean()
+        spec = jnp.fft.fft2(img0)
+        gs = [wfr_sweep(img0, w, pk, sigma, with_grad=True,
+                        spectrum=spec)
+              for w, pk in zip(wlists, ks)]
+        grads = jnp.stack([g["grad"] for g in gs])
+        weights = jnp.stack([jnp.abs(g["lockin"]) for g in gs])
+        return calc_props_from_phasegradient(kv, grads, weights, 1.0)
+
+    dt = _timeit(step, img)
+    return "adaptive GPA props from phase gradients, 4096^2", \
+        size * size / 1e6 / dt
+
+
 def config3():
     import jax
     import jax.numpy as jnp
@@ -192,10 +234,10 @@ def config5f():
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,1b,2,3,4,5,5f")
+    p.add_argument("--configs", default="1,1b,2,2g,3,4,5,5f")
     args = p.parse_args()
-    fns = {"1": config1, "1b": config1b, "2": config2, "3": config3,
-           "4": config4, "5": config5, "5f": config5f}
+    fns = {"1": config1, "1b": config1b, "2": config2, "2g": config2g,
+           "3": config3, "4": config4, "5": config5, "5f": config5f}
     for c in args.configs.split(","):
         name, val = fns[c]()
         unit = "kfits/s" if "kfits" in name else "Mpix/s"
