@@ -92,7 +92,7 @@ def config2g():
     import jax
     import jax.numpy as jnp
     from pygpa_tpu.lattices import hexlattice_gen, generate_ks
-    from pygpa_tpu.ops.wfr import wfr_sweep
+    from pygpa_tpu.ops.wfr import wfr_sweep_phase_weight_multi
     from pygpa_tpu.props.jacobians import calc_props_from_phasegradient
     size = 4096
     r_k = 0.02
@@ -114,11 +114,10 @@ def config2g():
     def step(image):
         img0 = image - image.mean()
         spec = jnp.fft.fft2(img0)
-        gs = [wfr_sweep(img0, w, pk, sigma, with_grad=True,
-                        spectrum=spec)
-              for w, pk in zip(wlists, ks)]
-        grads = jnp.stack([g["grad"] for g in gs])
-        weights = jnp.stack([jnp.abs(g["lockin"]) for g in gs])
+        # all 3 grad sweeps in ONE grouped kernel launch
+        _, weights, grads = wfr_sweep_phase_weight_multi(
+            img0, wlists, sigma, 2 * sigma, spectrum=spec,
+            with_grad=True, krefs=ks)
         return calc_props_from_phasegradient(kv, grads, weights, 1.0)
 
     dt = _timeit(step, img)

@@ -42,6 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROWS = 128   # output row-block (second-stage M rows per grid step)
 _COLS = 256   # output column-block (second-stage N per dot)
+# stage-1 candidate sub-batch: the batched first stage materializes
+# ~6 (SB*R, W0) f32 temporaries on the Mosaic stack (row-basis concats
+# + 4 dot accumulators); unbounded batching (SB = P = 42) costs ~33 MB
+# and VMEM-OOMs the grouped launch at 4096^2. 16 keeps the dots
+# 2048-deep while capping the stack at ~12 MB.
+_STAGE1_SB = 16
 
 
 def _dot_maker(precision):
@@ -101,42 +107,47 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         a0s = a0s_ref[:]
         # BATCHED first stage (see _grouped_kernel): the spectrum
         # window is shared and the Gaussian bandpass is rank-1, so the
-        # C per-candidate dots collapse into 4 stacked (C*R, W0) dots
-        # per source window, with gx folded into the row basis and gy
-        # applied exactly to the f32 accumulator.
-        a0cg = jnp.concatenate(
-            [a0c * gx_ref[i][None, :] for i in range(C)], axis=0)
-        a0sg = jnp.concatenate(
-            [a0s * gx_ref[i][None, :] for i in range(C)], axis=0)
+        # per-candidate dots collapse into 4 stacked (SB*R, W0) dots
+        # per sub-batch and source window, with gx folded into the row
+        # basis and gy applied exactly to the f32 accumulator.
+        # Sub-batched by _STAGE1_SB to bound the Mosaic stack.
         # (window, destination scratch) pairs: the lock-in spectrum
         # window and, on the grad path, the row-derivative window S2 =
         # (2 pi i f0) * S whose second stage yields dM/d(row).
         srcs = [(sr_ref[:], si_ref[:], t_ref, tlo_ref)]
         if emit_grad:
             srcs.append((s2r_ref[:], s2i_ref[:], tx_ref, txlo_ref))
-        for (xr, xi, dst, dstlo) in srcs:
-            cr = dot(a0cg, xr, _D01)       # (C*R, W1)
-            cs = dot(a0cg, xi, _D01)
-            ssr = dot(a0sg, xr, _D01)
-            ssi = dot(a0sg, xi, _D01)
-            for i in range(C):
-                sl = slice(i * R, (i + 1) * R)
-                gyi = gy_ref[i][None, :]
-                tr = (cr[sl] - ssi[sl]) * gyi
-                ti = (cs[sl] + ssr[sl]) * gyi
-                if high:
-                    # store bf16 hi/lo once — the per-step second
-                    # stage then reads half the bytes and skips
-                    # re-splitting
-                    rhi, rlo = _split_bf16(tr)
-                    ihi, ilo = _split_bf16(ti)
-                    dst[i * R:(i + 1) * R, :W1] = rhi
-                    dst[i * R:(i + 1) * R, W1:] = ihi
-                    dstlo[i * R:(i + 1) * R, :W1] = rlo
-                    dstlo[i * R:(i + 1) * R, W1:] = ilo
-                else:
-                    dst[i * R:(i + 1) * R, :W1] = tr
-                    dst[i * R:(i + 1) * R, W1:] = ti
+        for b0 in range(0, C, _STAGE1_SB):
+            b1 = min(b0 + _STAGE1_SB, C)
+            a0cg = jnp.concatenate(
+                [a0c * gx_ref[i][None, :] for i in range(b0, b1)],
+                axis=0)                    # (SB*R, W0)
+            a0sg = jnp.concatenate(
+                [a0s * gx_ref[i][None, :] for i in range(b0, b1)],
+                axis=0)
+            for (xr, xi, dst, dstlo) in srcs:
+                cr = dot(a0cg, xr, _D01)   # (SB*R, W1)
+                cs = dot(a0cg, xi, _D01)
+                ssr = dot(a0sg, xr, _D01)
+                ssi = dot(a0sg, xi, _D01)
+                for i in range(b0, b1):
+                    sl = slice((i - b0) * R, (i - b0 + 1) * R)
+                    gyi = gy_ref[i][None, :]
+                    tr = (cr[sl] - ssi[sl]) * gyi
+                    ti = (cs[sl] + ssr[sl]) * gyi
+                    if high:
+                        # store bf16 hi/lo once — the per-step second
+                        # stage then reads half the bytes and skips
+                        # re-splitting
+                        rhi, rlo = _split_bf16(tr)
+                        ihi, ilo = _split_bf16(ti)
+                        dst[i * R:(i + 1) * R, :W1] = rhi
+                        dst[i * R:(i + 1) * R, W1:] = ihi
+                        dstlo[i * R:(i + 1) * R, :W1] = rlo
+                        dstlo[i * R:(i + 1) * R, W1:] = ilo
+                    else:
+                        dst[i * R:(i + 1) * R, :W1] = tr
+                        dst[i * R:(i + 1) * R, W1:] = ti
 
     # second stage for ALL candidates in two deep dots:
     #   Re M = Tr @ A1c^T - Ti @ A1s^T = [Tr|Ti] @ [A1c|-A1s]^T
@@ -375,18 +386,23 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
     w_ref[:] = jnp.sqrt(jnp.maximum(oa_ref[:], 0.0)) * mask
 
 
-def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
-                    b1r_ref, b1i_ref, b1rs_ref, b1is_ref, ph_ref, w_ref,
-                    t_ref, tlo_ref, oa_ref, or_ref, oi_ref,
+def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
+                    a0c_ref, a0s_ref,
+                    b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
+                    b1rs_ref, b1is_ref, ph_ref, w_ref,
+                    gxo_ref, gyo_ref,
+                    t_ref, tx_ref, oa_ref, or_ref, oi_ref,
                     la_ref, lx_ref, *,
-                    precision, emit_dr, screen):
+                    precision, emit_dr, emit_grad, screen):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
-    what make_displacement_extractor consumes). Single-chunk: the
-    tournament completes inside each block, so no carry planes cross
-    the launch at all. Group g's candidates contract against group g's
-    spectrum window and bases; sharing the launch amortizes the grid
-    and lets group g+1's MXU dots overlap group g's VPU tournament."""
+    what make_displacement_extractor consumes — plus, with emit_grad,
+    the winner's analytic phase-gradient planes, the wfr2_grad_opt
+    quantities of cuGPA.py:41-87). Single-chunk: the tournament
+    completes inside each block, so no carry planes cross the launch
+    at all. Group g's candidates contract against group g's spectrum
+    window and bases; sharing the launch amortizes the grid and lets
+    group g+1's MXU dots overlap group g's VPU tournament."""
     G, P, W0 = gx_ref.shape
     R = a0c_ref.shape[1]
     W1 = sr_ref.shape[2]
@@ -396,51 +412,64 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
     @pl.when(pl.program_id(1) == 0)
     def _stage1():
         for g in range(G):
-            sr = sr_ref[g]
-            si = si_ref[g]
             a0c = a0c_ref[g]
             a0s = a0s_ref[g]
             # BATCHED first stage: T_i = ((A0 . gx_i) @ S) . gy_i —
             # the spectrum window is shared by every candidate and the
-            # Gaussian bandpass is rank-1, so the P per-candidate
+            # Gaussian bandpass is rank-1, so the per-candidate
             # (R, W0) @ (W0, W1) dots collapse into 4 stacked
-            # (P*R, W0) @ (W0, W1) dots (12 MXU passes at bf16x3)
-            # plus VPU row/column scalings; the column factor gy_i is
-            # applied to the f32 accumulator AFTER the dot (exact,
-            # where the per-candidate form rounds it into the bf16
-            # operand split).
-            a0cg = jnp.concatenate(
-                [a0c * gx_ref[g, i][None, :] for i in range(P)],
-                axis=0)                                # (P*R, W0)
-            a0sg = jnp.concatenate(
-                [a0s * gx_ref[g, i][None, :] for i in range(P)],
-                axis=0)
-            cr = dot(a0cg, sr, _D01)                   # (P*R, W1)
-            cs = dot(a0cg, si, _D01)
-            ssr = dot(a0sg, sr, _D01)
-            ssi = dot(a0sg, si, _D01)
-            for i in range(P):
-                sl = slice(i * R, (i + 1) * R)
-                gyi = gy_ref[g, i][None, :]
-                tr = (cr[sl] - ssi[sl]) * gyi
-                ti = (cs[sl] + ssr[sl]) * gyi
-                s = (g * P + i) * R
-                if high:
-                    # single [hi | lo] scratch: lanes [0, 2*W1) hold
-                    # the bf16-high halves, [2*W1, 4*W1) the lows —
-                    # pass B then reads one contiguous (R, 4*W1) slice
-                    rhi, rlo = _split_bf16(tr)
-                    ihi, ilo = _split_bf16(ti)
-                    t_ref[s:s + R, :W1] = rhi
-                    t_ref[s:s + R, W1:2 * W1] = ihi
-                    t_ref[s:s + R, 2 * W1:3 * W1] = rlo
-                    t_ref[s:s + R, 3 * W1:] = ilo
-                else:
-                    t_ref[s:s + R, :W1] = tr
-                    t_ref[s:s + R, W1:] = ti
+            # (SB*R, W0) @ (W0, W1) dots per sub-batch (12 MXU passes
+            # at bf16x3) plus VPU row/column scalings; the column
+            # factor gy_i is applied to the f32 accumulator AFTER the
+            # dot (exact, where the per-candidate form rounds it into
+            # the bf16 operand split). Sub-batched by _STAGE1_SB to
+            # bound the concat/accumulator stack (see _STAGE1_SB).
+            # (window, destination scratch) pairs: the lock-in window
+            # and, on the grad path, the row-derivative window
+            # S2 = (2 pi i f0) * S whose second stage is dM/d(row)
+            srcs = [(sr_ref[g], si_ref[g], t_ref)]
+            if emit_grad:
+                srcs.append((s2r_ref[g], s2i_ref[g], tx_ref))
+            for b0 in range(0, P, _STAGE1_SB):
+                b1 = min(b0 + _STAGE1_SB, P)
+                a0cg = jnp.concatenate(
+                    [a0c * gx_ref[g, i][None, :]
+                     for i in range(b0, b1)], axis=0)  # (SB*R, W0)
+                a0sg = jnp.concatenate(
+                    [a0s * gx_ref[g, i][None, :]
+                     for i in range(b0, b1)], axis=0)
+                for (sr, si, dst) in srcs:
+                    cr = dot(a0cg, sr, _D01)           # (SB*R, W1)
+                    cs = dot(a0cg, si, _D01)
+                    ssr = dot(a0sg, sr, _D01)
+                    ssi = dot(a0sg, si, _D01)
+                    for i in range(b0, b1):
+                        sl = slice((i - b0) * R, (i - b0 + 1) * R)
+                        gyi = gy_ref[g, i][None, :]
+                        tr = (cr[sl] - ssi[sl]) * gyi
+                        ti = (cs[sl] + ssr[sl]) * gyi
+                        s = (g * P + i) * R
+                        if high:
+                            # single [hi | lo] scratch: lanes
+                            # [0, 2*W1) hold the bf16-high halves,
+                            # [2*W1, 4*W1) the lows — pass B then
+                            # reads one contiguous (R, 4*W1) slice
+                            rhi, rlo = _split_bf16(tr)
+                            ihi, ilo = _split_bf16(ti)
+                            dst[s:s + R, :W1] = rhi
+                            dst[s:s + R, W1:2 * W1] = ihi
+                            dst[s:s + R, 2 * W1:3 * W1] = rlo
+                            dst[s:s + R, 3 * W1:] = ilo
+                        else:
+                            dst[s:s + R, :W1] = tr
+                            dst[s:s + R, W1:] = ti
 
     for g in range(G):
         t = t_ref[g * P * R:(g + 1) * P * R]
+        if emit_grad:
+            tx = tx_ref[g * P * R:(g + 1) * P * R]
+            gxo_ref[g] = jnp.zeros(gxo_ref.shape[1:], gxo_ref.dtype)
+            gyo_ref[g] = jnp.zeros(gyo_ref.shape[1:], gyo_ref.dtype)
         if high:
             def raw(a, b):
                 return jax.lax.dot_general(
@@ -452,6 +481,28 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             b1i_hi, b1i_lo = _split_bf16(b1i_ref[g])
             bcat_r = jnp.concatenate([b1r_lo, b1r_hi], axis=1)
             bcat_i = jnp.concatenate([b1i_lo, b1i_hi], axis=1)
+            if emit_grad:
+                txhi = tx[:, :2 * W1]
+                b1yr_hi, b1yr_lo = _split_bf16(b1yr_ref[g])
+                b1yi_hi, b1yi_lo = _split_bf16(b1yi_ref[g])
+                bcat_yr = jnp.concatenate([b1yr_lo, b1yr_hi], axis=1)
+                bcat_yi = jnp.concatenate([b1yi_lo, b1yi_hi], axis=1)
+
+                def _grad_writes(i, sel, mr, mi):
+                    # winner analytic phase gradients (see _kernel):
+                    # row derivative from the S2 partials, column
+                    # derivative from the f1-scaled column basis; each
+                    # plane is hi*hi + ONE deep [hi|lo] cross dot.
+                    sl = slice(i * R, (i + 1) * R)
+                    mxr = raw(txhi[sl], b1r_hi) + raw(tx[sl], bcat_r)
+                    mxi = raw(txhi[sl], b1i_hi) + raw(tx[sl], bcat_i)
+                    myr = raw(thi[sl], b1yr_hi) + raw(t[sl], bcat_yr)
+                    myi = raw(thi[sl], b1yi_hi) + raw(t[sl], bcat_yi)
+                    den = jnp.maximum(mr * mr + mi * mi, 1e-30)
+                    gxo_ref[g] = jnp.where(
+                        sel, (mi * mxr - mr * mxi) / den, gxo_ref[g])
+                    gyo_ref[g] = jnp.where(
+                        sel, (mi * myr - mr * myi) / den, gyo_ref[g])
             if screen:
                 # SCREENING pass: evaluate every candidate only on a
                 # `screen`-subsampled column grid (still every row), a
@@ -511,6 +562,8 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                                               oa_ref[:])
                         or_ref[:] = jnp.where(sel, mr, or_ref[:])
                         oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                        if emit_grad:
+                            _grad_writes(i, sel, mr, mi)
             else:
                 mall_r = raw(thi, b1r_hi)
                 mall_i = raw(thi, b1i_hi)
@@ -543,6 +596,8 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                                               oa_ref[:])
                         or_ref[:] = jnp.where(sel, mr, or_ref[:])
                         oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                        if emit_grad:
+                            _grad_writes(i, sel, mr, mi)
             oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
         else:
             mall_r = dot(t, b1r_ref[g], _D11)
@@ -550,6 +605,7 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
             oa = mall_r[:R] * mall_r[:R] + mall_i[:R] * mall_i[:R]
             om_r = mall_r[:R]
             om_i = mall_i[:R]
+            lx = jnp.zeros(oa.shape, jnp.int32)
             for i in range(1, P):
                 mr = mall_r[i * R:(i + 1) * R]
                 mi = mall_i[i * R:(i + 1) * R]
@@ -558,6 +614,29 @@ def _grouped_kernel(sr_ref, si_ref, gx_ref, gy_ref, a0c_ref, a0s_ref,
                 oa = jnp.where(sel, absq, oa)
                 om_r = jnp.where(sel, mr, om_r)
                 om_i = jnp.where(sel, mi, om_i)
+                lx = jnp.where(sel, i, lx)
+            if emit_grad:
+                # winner analytic gradients at full (HIGHEST/DEFAULT)
+                # precision, recomputed per winning candidate
+                for i in range(P):
+                    sel = lx == i
+
+                    @pl.when(jnp.any(sel))
+                    def _grads(i=i, sel=sel):
+                        sl = slice(i * R, (i + 1) * R)
+                        mr = mall_r[sl]
+                        mi = mall_i[sl]
+                        mxr = dot(tx[sl], b1r_ref[g], _D11)
+                        mxi = dot(tx[sl], b1i_ref[g], _D11)
+                        myr = dot(t[sl], b1yr_ref[g], _D11)
+                        myi = dot(t[sl], b1yi_ref[g], _D11)
+                        den = jnp.maximum(mr * mr + mi * mi, 1e-30)
+                        gxo_ref[g] = jnp.where(
+                            sel, (mi * mxr - mr * mxi) / den,
+                            gxo_ref[g])
+                        gyo_ref[g] = jnp.where(
+                            sel, (mi * myr - mr * myi) / den,
+                            gyo_ref[g])
         dr, n, m = emit_dr
         R_, Cc = ph_ref.shape[1:]
         r0 = pl.program_id(0) * R_
@@ -588,14 +667,19 @@ _SCREEN_EPS = 0.1
          static_argnames=("rows", "cols", "precision", "interpret",
                           "dr", "screen"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
-                             A1ss, *, dr,
+                             A1ss, grad_ops=None, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
                              rows=None, cols=None, interpret=False,
                              screen=None):
     """Multi-peak emit-only sweep driver: G peaks, each with its own
     (W0, W1) spectrum window, candidate bank and DFT bases, in one
     pallas launch. Returns (phase (G, n, m), weight (G, n, m)) — the
-    make_displacement_extractor hot path.
+    make_displacement_extractor hot path — plus (grad_x, grad_y)
+    (G, n, m) winner phase-gradient planes when grad_ops is given.
+
+    grad_ops = (S2rs, S2is, A1ycs, A1yss): the (G, W0, W1)
+    row-derivative windows (2 pi i f0) * S and the (G, m, W1)
+    column-derivative bases (2 pi i f1) * A1 (see fused_zoom_sweep).
 
     screen: column-subsample factor of the candidate screening pass
     (HIGH precision only; None = _SCREEN default, 0 disables). The
@@ -606,11 +690,19 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     W1 = Srs.shape[2]
     n = A0cs.shape[1]
     m = A1cs.shape[1]
-    rows = rows or max(b for b in (8, 64, 128, _ROWS) if n % b == 0)
+    emit_grad = grad_ops is not None
     # 512-wide column blocks measured ~11% faster than 256 at 4096^2
     # (fewer grid steps -> fewer t_ref scratch re-reads and basis DMAs
-    # between the deep dots); 1024 exceeds scoped VMEM.
-    cols = cols or max(b for b in (128, _COLS, 512) if m % b == 0)
+    # between the deep dots); 1024 exceeds scoped VMEM. The grad path
+    # doubles the big partials scratch (t + tx) and the column bases
+    # (b1 + b1y), so it steps down one block size on both axes to stay
+    # inside scoped VMEM.
+    if rows is None:
+        rcands = (8, 64) if emit_grad else (8, 64, 128, _ROWS)
+        rows = max(b for b in rcands if n % b == 0)
+    if cols is None:
+        cands = (128, _COLS) if emit_grad else (128, _COLS, 512)
+        cols = max(b for b in cands if m % b == 0)
     grid = (n // rows, m // cols)
     high = precision == jax.lax.Precision.HIGH
     if screen is None:
@@ -624,6 +716,24 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    def dummy_spec():
+        return pl.BlockSpec((8, 128), lambda r, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dummy = jnp.zeros((8, 128), Srs.dtype)
+    colspec = pl.BlockSpec((G, cols, 2 * W1), lambda r, c: (0, c, 0),
+                           memory_space=pltpu.VMEM)
+    if emit_grad:
+        S2rs, S2is, A1ycs, A1yss = grad_ops
+        B1yr = jnp.concatenate([A1ycs, -A1yss], axis=2)
+        B1yi = jnp.concatenate([A1yss, A1ycs], axis=2)
+        tx_scr = (pltpu.VMEM((G * P * rows, 4 * W1), jnp.bfloat16)
+                  if high else
+                  pltpu.VMEM((G * P * rows, 2 * W1), jnp.float32))
+    else:
+        S2rs = S2is = B1yr = B1yi = dummy
+        tx_scr = pltpu.VMEM((8, 128), jnp.bfloat16)
+
     if screen:
         # every screen-th column of the basis (reshape+slice, not a
         # strided slice, which relayouts poorly on TPU)
@@ -635,39 +745,42 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         la_scr = pltpu.VMEM((rows, cols), jnp.float32)
         lx_scr = pltpu.VMEM((rows, cols), jnp.int32)
     else:
-        B1rs = B1is = jnp.zeros((8, 128), Srs.dtype)
-        sspec = pl.BlockSpec((8, 128), lambda r, c: (0, 0),
-                             memory_space=pltpu.VMEM)
+        B1rs = B1is = dummy
+        sspec = dummy_spec()
         la_scr = pltpu.VMEM((8, 128), jnp.float32)
         lx_scr = pltpu.VMEM((8, 128), jnp.int32)
 
     gplane = pl.BlockSpec((G, rows, cols), lambda r, c: (0, r, c),
                           memory_space=pltpu.VMEM)
+    g_spec = gplane if emit_grad else dummy_spec()
+    g_shape = (G, n, m) if emit_grad else (8, 128)
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
-                emit_dr=(int(dr), n, m), screen=screen),
+                emit_dr=(int(dr), n, m), emit_grad=emit_grad,
+                screen=screen),
         grid=grid,
         in_specs=[const((G, W0, W1)), const((G, W0, W1)),
+                  const((G, W0, W1)) if emit_grad else dummy_spec(),
+                  const((G, W0, W1)) if emit_grad else dummy_spec(),
                   const((G, P, W0)), const((G, P, W1)),
                   pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((G, cols, 2 * W1),
-                               lambda r, c: (0, c, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((G, cols, 2 * W1),
-                               lambda r, c: (0, c, 0),
-                               memory_space=pltpu.VMEM),
+                  colspec, colspec,
+                  colspec if emit_grad else dummy_spec(),
+                  colspec if emit_grad else dummy_spec(),
                   sspec, sspec],
-        out_specs=(gplane, gplane),
+        out_specs=(gplane, gplane, g_spec, g_spec),
         out_shape=(jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
-                   jax.ShapeDtypeStruct((G, n, m), Srs.dtype)),
+                   jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
+                   jax.ShapeDtypeStruct(g_shape, Srs.dtype),
+                   jax.ShapeDtypeStruct(g_shape, Srs.dtype)),
         scratch_shapes=[
             pltpu.VMEM((G * P * rows, 4 * W1), jnp.bfloat16)
             if high else
             pltpu.VMEM((G * P * rows, 2 * W1), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.bfloat16),
+            tx_scr,
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
@@ -675,8 +788,9 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Srs, Sis, gxs, gys, A0cs, A0ss, B1r, B1i, B1rs, B1is)
-    return out
+    )(Srs, Sis, S2rs, S2is, gxs, gys, A0cs, A0ss, B1r, B1i,
+      B1yr, B1yi, B1rs, B1is)
+    return out[:4] if emit_grad else out[:2]
 
 
 @partial(jax.jit,

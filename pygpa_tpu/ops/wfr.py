@@ -499,12 +499,16 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
     return jnp.angle(g["lockin"]).astype(rdt), weight
 
 
-@partial(jax.jit, static_argnames=("sigma", "dr", "screen"))
+@partial(jax.jit,
+         static_argnames=("sigma", "dr", "screen", "with_grad"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
-                               screen=None):
+                               screen=None, with_grad=False):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
     kernel): per group its own spectrum window, Gaussian factors and
-    DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1)."""
+    DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1).
+    with_grad additionally returns the kernel-emitted winner
+    phase-gradient planes (gx, gy), each (G, n, m), BEFORE the
+    wfr2_grad_opt rebase epilogue (the caller applies it)."""
     n, m = spectrum.shape
     rdt = jnp.zeros((), spectrum.real.dtype).dtype
     scale = jnp.asarray(1.0 / (n * m), rdt)
@@ -520,25 +524,47 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
     wr = wl.astype(rdt)
     gxs = jnp.exp(-s2 * (f0[:, None, :] + wr[:, :, 0:1]) ** 2)
     gys = jnp.exp(-s2 * (f1[:, None, :] + wr[:, :, 1:2]) ** 2)
+    grad_ops = None
+    if with_grad:
+        tpf0 = (2 * jnp.pi) * f0
+        tpf1 = (2 * jnp.pi) * f1
+        grad_ops = (-tpf0[:, :, None] * S.imag * scale,
+                    tpf0[:, :, None] * S.real * scale,
+                    -A1s * tpf1[:, None, :],
+                    A1c * tpf1[:, None, :])
     from .pallas_sweep import fused_zoom_sweep_grouped
     return fused_zoom_sweep_grouped(
         S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
-        dr=int(dr), precision=_ZOOM_PRECISION, screen=screen)
+        grad_ops, dr=int(dr), precision=_ZOOM_PRECISION,
+        screen=screen)
 
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
-                                 spectrum=None, screen=None, chunk=8):
+                                 spectrum=None, screen=None, chunk=8,
+                                 with_grad=False, krefs=None):
     """Demodulated winner phases + rim-masked weights for ALL Bragg
     peaks of a pipeline sweep. On the fused TPU path the G sweeps run
     as ONE grouped kernel launch (no per-peak launch overhead; group
     g+1's MXU dots overlap group g's tournament). Falls back to
     per-peak wfr_sweep_phase_weight when the windows differ in shape
     or the kernel path is unavailable. Returns (phases (G, N, M),
-    weights (G, N, M))."""
+    weights (G, N, M)).
+
+    with_grad=True additionally returns grads (G, N, M, 2) — each
+    peak's wfr2_grad_opt winner phase gradient
+    (/root/reference/pyGPA/cuGPA.py:41-87, rebased to the nominal
+    k-vector: wrapToPi(2*(g - 2 pi k))/2,
+    geometric_phase_analysis.py:812). Requires krefs: (G, 2) nominal
+    k-vectors (one per peak)."""
+    if with_grad and krefs is None:
+        raise ValueError(
+            "wfr_sweep_phase_weight_multi(with_grad=True) requires "
+            "krefs (the per-peak nominal k-vectors)")
     if spectrum is None:
         image = jnp.asarray(image)
         spectrum = jnp.fft.fft2(image)
     shape = spectrum.shape
+    rdt = jnp.zeros((), spectrum.real.dtype).dtype
     concrete = all(not isinstance(w, jax.core.Tracer) for w in wlists)
     plans = None
     if concrete:
@@ -547,7 +573,7 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
     use_grouped = (
         plans is not None and all(p is not None for p in plans)
         and _use_pallas_sweep()
-        and jnp.zeros((), spectrum.real.dtype).dtype == jnp.float32
+        and rdt == jnp.float32
         and shape[0] % 128 == 0 and shape[1] % 128 == 0
         and len({(p[0].shape[0], p[1].shape[0]) for p in plans}) == 1
         and len({np.asarray(w).shape[0] for w in wlists}) == 1
@@ -557,17 +583,41 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
         wl = jnp.asarray(np.stack([np.asarray(w) for w in wlists]))
         idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
         idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
-        return _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s,
-                                          float(sigma), int(dr),
-                                          screen=screen)
-    phs, wts = [], []
-    for w in wlists:
-        # kref is unused on the demod (rebase=False) path
-        ph, wt = wfr_sweep_phase_weight(image, w, jnp.asarray(w)[0],
-                                        sigma, dr, spectrum=spectrum,
-                                        chunk=chunk)
-        phs.append(ph)
-        wts.append(wt)
+        out = _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s,
+                                         float(sigma), int(dr),
+                                         screen=screen,
+                                         with_grad=with_grad)
+        if not with_grad:
+            return out
+        ph, wt, ggx, ggy = out
+        g = (jnp.stack([ggx, ggy], axis=-1)
+             - 2 * jnp.pi * jnp.asarray(krefs, rdt)[:, None, None, :])
+        return ph, wt, wrap_to_pi(2.0 * g) / 2.0
+    phs, wts, gds = [], [], []
+    for i, w in enumerate(wlists):
+        if with_grad:
+            kref = jnp.asarray(krefs, rdt)[i]
+            g = wfr_sweep(image, w, kref, sigma, with_grad=True,
+                          with_w=False, chunk=chunk, spectrum=spectrum,
+                          rebase=False)
+            n, m = shape
+            mask = jnp.full((n, m), 1e-6, rdt)
+            d = int(dr)
+            mask = mask.at[d:n - d, d:m - d].add(1.0)
+            phs.append(jnp.angle(g["lockin"]))
+            wts.append(jnp.abs(g["lockin"]) * mask)
+            gds.append(g["grad"])
+        else:
+            # kref is unused on the demod (rebase=False) path
+            ph, wt = wfr_sweep_phase_weight(image, w,
+                                            jnp.asarray(w)[0],
+                                            sigma, dr,
+                                            spectrum=spectrum,
+                                            chunk=chunk)
+            phs.append(ph)
+            wts.append(wt)
+    if with_grad:
+        return jnp.stack(phs), jnp.stack(wts), jnp.stack(gds)
     return jnp.stack(phs), jnp.stack(wts)
 
 

@@ -461,3 +461,135 @@ def test_grouped_sweep_matches_oracle():
         assert (dphi > 1e-3).mean() == 0.0
         assert np.allclose(w[g], np.sqrt(ra) * mask, rtol=1e-4,
                            atol=1e-6)
+
+
+def test_grouped_sweep_grad_matches_single():
+    """The grouped multi-peak kernel's gradient path (emit_grad:
+    winner analytic phase gradients per group) matches the single-peak
+    fused kernel's gradient output per peak, at HIGH and HIGHEST
+    precision, with and without screening (interpret mode on CPU)."""
+    import jax
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops import wfr as W
+    from pygpa_tpu.ops.pallas_sweep import (fused_zoom_sweep,
+                                            fused_zoom_sweep_grouped)
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  kappa=1.001, psi=10.0,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta, kappa=1.001, psi=10.0))[:2]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    dr = 2 * sigma
+    kw = knorms.mean() / 2.5
+    kstep = kw / 2
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    pmin = min(w.shape[0] for w in wlists)
+    wlists = [w[:pmin] for w in wlists]
+    assert pmin >= 8
+
+    img0 = jnp.asarray(img - img.mean())
+    spectrum = jnp.fft.fft2(img0)
+    plans = [W._plan_zoom((size, size), w, float(sigma))
+             for w in wlists]
+    assert all(p is not None for p in plans)
+    n = m = size
+    rdt = jnp.float32
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
+    idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
+    wl = jnp.asarray(np.stack(wlists))
+    S = jax.vmap(lambda i0, i1: jnp.take(
+        jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
+    A0c, A0s = jax.vmap(lambda i: W._zoom_basis(n, i, rdt))(idx0s)
+    A1c, A1s = jax.vmap(lambda i: W._zoom_basis(m, i, rdt))(idx1s)
+    f0 = jnp.where(idx0s < n // 2, idx0s, idx0s - n).astype(rdt) / n
+    f1 = jnp.where(idx1s < m // 2, idx1s, idx1s - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wr = wl.astype(rdt)
+    gxs = jnp.exp(-s2 * (f0[:, None, :] + wr[:, :, 0:1]) ** 2)
+    gys = jnp.exp(-s2 * (f1[:, None, :] + wr[:, :, 1:2]) ** 2)
+    tp = 2 * np.pi
+    grad_ops = (-tp * f0[:, :, None] * S.imag * scale,
+                tp * f0[:, :, None] * S.real * scale,
+                -A1s * tp * f1[:, None, :],
+                A1c * tp * f1[:, None, :])
+
+    for prec in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST):
+        for screen in (0, 4):
+            if screen and prec != jax.lax.Precision.HIGH:
+                continue
+            ph, w, ggx, ggy = fused_zoom_sweep_grouped(
+                S.real * scale, S.imag * scale, gxs, gys,
+                A0c, A0s, A1c, A1s, grad_ops,
+                dr=int(dr), precision=prec, interpret=True,
+                screen=screen)
+            for g in range(len(wlists)):
+                sg = (grad_ops[0][g], grad_ops[1][g],
+                      grad_ops[2][g], grad_ops[3][g])
+                out = fused_zoom_sweep(
+                    S.real[g] * scale, S.imag[g] * scale,
+                    gxs[g], gys[g], A0c[g], A0s[g], A1c[g], A1s[g],
+                    precision=prec, interpret=True, emit_dr=(dr,),
+                    grad_ops=sg, screen=0)
+                sgx, sgy, sph, sw = out[4], out[5], out[6], out[7]
+                dphi = np.abs((np.asarray(ph[g] - sph) + np.pi)
+                              % (2 * np.pi) - np.pi)
+                # winners agree except bf16 near-ties
+                agree = dphi < 1e-3
+                assert agree.mean() > 1 - 2e-4
+                np.testing.assert_allclose(
+                    np.asarray(ggx[g])[agree], np.asarray(sgx)[agree],
+                    rtol=2e-3, atol=2e-5)
+                np.testing.assert_allclose(
+                    np.asarray(ggy[g])[agree], np.asarray(sgy)[agree],
+                    rtol=2e-3, atol=2e-5)
+
+
+def test_phase_weight_multi_grad_matches_wfr_sweep():
+    """wfr_sweep_phase_weight_multi(with_grad=True) returns per-peak
+    phases/weights/gradients equal to the per-peak wfr_sweep grad
+    path (rebase=False + the wfr2_grad_opt epilogue) on the XLA
+    fallback (CPU: both route through the same zoom matmul sweep)."""
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import (wfr_sweep,
+                                   wfr_sweep_phase_weight_multi)
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta))[:2]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    dr = 2 * sigma
+    kw = knorms.mean() / 2.5
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kw / 2)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kw / 2)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+
+    img0 = jnp.asarray(img - img.mean())
+    spectrum = jnp.fft.fft2(img0)
+    ph, wt, gd = wfr_sweep_phase_weight_multi(
+        img0, wlists, sigma, dr, spectrum=spectrum, with_grad=True,
+        krefs=ks)
+    assert gd.shape == (len(ks), size, size, 2)
+    for i, (w, pk) in enumerate(zip(wlists, ks)):
+        g = wfr_sweep(img0, w, pk, sigma, with_grad=True,
+                      with_w=False, spectrum=spectrum, rebase=False)
+        np.testing.assert_allclose(np.asarray(ph[i]),
+                                   np.angle(np.asarray(g["lockin"])),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd[i]),
+                                   np.asarray(g["grad"]),
+                                   rtol=0, atol=1e-6)
