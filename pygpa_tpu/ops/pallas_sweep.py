@@ -657,8 +657,12 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
 # amplitude margin for flagging — a candidate is evaluated at full
 # resolution iff its screened |M|^2 reaches (1-eps) x the co-located
 # best anywhere in the (rows, cols) tile. 0 disables screening.
-# Default OFF until the on-chip A/B validates speed + accuracy gates
-# (flip to 4 once /tmp/exp_screen.py-style measurement lands).
+# MEASURED on-chip (r3, 4096^2, P=36): screening LOSES — screen=2/4/8
+# ran 72/156/65 ms vs 58 ms unscreened (the flagging dot + restricted
+# tournament cost more than the skipped full-res work saves at this
+# candidate count); e2e throughput unchanged, accuracy identical.
+# Kept as a validated, tested option for much larger candidate banks;
+# the production default stays 0.
 _SCREEN = 0
 _SCREEN_EPS = 0.1
 
@@ -946,6 +950,14 @@ def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
     P = gx.shape[0]
     n = A0c.shape[0]
     m = A1c.shape[0]
+    if P > max_chunk and precision == jax.lax.Precision.HIGH:
+        # Multi-chunk HIGH would compare pass A's single-pass-bf16
+        # absq (~1e-3 rel err) against the exact bf16x3 values carried
+        # from earlier chunks — an asymmetric tournament that biases
+        # near-ties toward earlier chunks. Clamp to HIGHEST so every
+        # chunk's tournament and carries hold the same exact values
+        # (production sweeps are single-chunk, P <= 48, and unaffected).
+        precision = jax.lax.Precision.HIGHEST
     rdt = Sr.dtype
     B1r = jnp.concatenate([A1c, -A1s], axis=1)   # (m, 2*W1)
     B1i = jnp.concatenate([A1s, A1c], axis=1)

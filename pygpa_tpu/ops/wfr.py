@@ -277,7 +277,7 @@ _GAUSS_CUT = 22.0
 
 
 def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=None,
-               lane=64):
+               lane=64, min_half=(0, 0)):
     """Plan the band-limited (zoom) sweep: the Gaussian bandpass
     G(q + w) confines every candidate's spectrum to a small window
     around -mean(w); if that window (plus the candidate spread and a
@@ -302,9 +302,33 @@ def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=None,
     # round the half-width up so W = 2*half is a multiple of `lane`
     half0 = -(-need0 // (lane // 2)) * (lane // 2)
     half1 = -(-need1 // (lane // 2)) * (lane // 2)
+    # widening a window is always exact (the extra bins just carry
+    # ~zero Gaussian weight): min_half lets multi-peak callers unify
+    # window shapes across peaks so the grouped kernel stays usable
+    half0 = max(half0, int(min_half[0]))
+    half1 = max(half1, int(min_half[1]))
     if 2 * half0 > 0.7 * n or 2 * half1 > 0.7 * m:
         return None
     return _zoom_window(n, c0, half0), _zoom_window(m, c1, half1)
+
+
+def _plan_zoom_multi(shape, wlists, sigma):
+    """Per-peak zoom plans with UNIFIED window shapes: when the
+    per-peak passbands round to different widths, re-plan every peak
+    with the maximum half-widths (widening a window is exact — the
+    extra bins carry ~zero Gaussian weight) so the grouped
+    single-launch kernel stays applicable. Returns a list of plans
+    (None entries where no zoom is worthwhile)."""
+    plans = [_plan_zoom(shape, np.asarray(w), float(sigma))
+             for w in wlists]
+    if (all(p is not None for p in plans)
+            and len({(p[0].shape[0], p[1].shape[0])
+                     for p in plans}) > 1):
+        h0 = max(p[0].shape[0] for p in plans) // 2
+        h1 = max(p[1].shape[0] for p in plans) // 2
+        plans = [_plan_zoom(shape, np.asarray(w), float(sigma),
+                            min_half=(h0, h1)) for w in wlists]
+    return plans
 
 
 def _zoom_basis(n, idx, dtype):
@@ -568,8 +592,7 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
     concrete = all(not isinstance(w, jax.core.Tracer) for w in wlists)
     plans = None
     if concrete:
-        plans = [_plan_zoom(shape, np.asarray(w), float(sigma))
-                 for w in wlists]
+        plans = _plan_zoom_multi(shape, wlists, float(sigma))
     use_grouped = (
         plans is not None and all(p is not None for p in plans)
         and _use_pallas_sweep()

@@ -167,6 +167,36 @@ def test_fused_zoom_sweep_matches_einsum():
     assert diff.mean() < 1e-3
 
 
+def test_fused_zoom_sweep_multichunk_high_clamps_exact():
+    """A multi-chunk HIGH sweep is clamped to the exact (HIGHEST)
+    path: pass A's single-pass-bf16 absq must never be tournament-
+    compared against exact bf16x3 carries from earlier chunks (the
+    asymmetric comparison biases near-ties toward earlier chunks), so
+    the result is bit-identical to HIGHEST (interpret mode on CPU)."""
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
+    import jax
+    rng = np.random.default_rng(7)
+    P, W0, W1, n, m = 7, 64, 64, 256, 256
+    Sr = jnp.asarray(rng.normal(size=(W0, W1)), jnp.float32)
+    Si = jnp.asarray(rng.normal(size=(W0, W1)), jnp.float32)
+    gx = jnp.asarray(rng.uniform(0, 1, size=(P, W0)), jnp.float32)
+    gy = jnp.asarray(rng.uniform(0, 1, size=(P, W1)), jnp.float32)
+    A0c = jnp.asarray(rng.normal(size=(n, W0)), jnp.float32)
+    A0s = jnp.asarray(rng.normal(size=(n, W0)), jnp.float32)
+    A1c = jnp.asarray(rng.normal(size=(m, W1)), jnp.float32)
+    A1s = jnp.asarray(rng.normal(size=(m, W1)), jnp.float32)
+    hi = fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s,
+                          max_chunk=3,
+                          precision=jax.lax.Precision.HIGH,
+                          interpret=True)
+    ex = fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s,
+                          max_chunk=3,
+                          precision=jax.lax.Precision.HIGHEST,
+                          interpret=True)
+    for a, b in zip(hi, ex):
+        assert np.array_equal(np.array(a), np.array(b))
+
+
 def test_fused_sweep_phase_weight_emission():
     """The kernel-emitted phase/weight planes equal the XLA epilogue
     (interpret mode; rim mask semantics of extract_displacement_field,
@@ -411,6 +441,68 @@ def test_single_sweep_screening_equivalence():
         for a, b in zip(o0, o1):
             np.testing.assert_array_equal(np.asarray(a),
                                           np.asarray(b))
+
+
+def test_plan_zoom_multi_unifies_window_shapes():
+    """When per-peak passbands round to different window widths,
+    _plan_zoom_multi re-plans every peak at the common maximum
+    half-widths (widening is exact), keeping the grouped kernel
+    applicable; the widened window's sweep values match the tight
+    window's through the XLA zoom path."""
+    from pygpa_tpu.ops import wfr as W
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+
+    size = 256
+    r_k, theta = 0.05, 6.0
+    ks = np.array(generate_ks(r_k, theta, kappa=1.003, psi=8.0))[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    # very different candidate spreads per peak -> different widths
+    wlists = []
+    for i, pk in enumerate(ks):
+        kw = knorms.mean() / 2.5 * (1.0 + 2.5 * i)
+        kstep = kw / 3
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()],
+                               -1).astype(np.float32))
+    raw = [W._plan_zoom((size, size), w, float(sigma))
+           for w in wlists]
+    if any(p is None for p in raw):
+        import pytest
+        pytest.skip("fixture spreads defeat the zoom plan entirely")
+    raw_shapes = {(p[0].shape[0], p[1].shape[0]) for p in raw}
+    uni = W._plan_zoom_multi((size, size), wlists, float(sigma))
+    uni_shapes = {(p[0].shape[0], p[1].shape[0]) for p in uni}
+    assert len(uni_shapes) == 1
+    if len(raw_shapes) == 1:
+        # fixture failed to split widths; unification is identity
+        assert uni_shapes == raw_shapes
+        return
+    # widening is exact: sweep peak 0 with its tight window and with
+    # the unified (wider) one through the XLA zoom path
+    img = np.array(hexlattice_gen(r_k, theta, order=2, size=size,
+                                  kappa=1.003, psi=8.0,
+                                  dtype=np.float32))
+    img0 = jnp.asarray(img - img.mean())
+    spectrum = jnp.fft.fft2(img0)
+    i_diff = next(i for i, p in enumerate(raw)
+                  if (p[0].shape[0], p[1].shape[0])
+                  != next(iter(uni_shapes)))
+    wl = jnp.asarray(wlists[i_diff])
+    tight = raw[i_diff]
+    wide = uni[i_diff]
+    a_t = W._wfr_sweep_zoom(spectrum, wl, jnp.asarray(tight[0]),
+                            jnp.asarray(tight[1]), float(sigma),
+                            False, 8)
+    a_w = W._wfr_sweep_zoom(spectrum, wl, jnp.asarray(wide[0]),
+                            jnp.asarray(wide[1]), float(sigma),
+                            False, 8)
+    assert np.array_equal(np.asarray(a_t[3]), np.asarray(a_w[3]))
+    assert np.allclose(np.asarray(jnp.abs(a_t[1])),
+                       np.asarray(jnp.abs(a_w[1])),
+                       rtol=1e-5, atol=1e-6)
 
 
 def test_grouped_sweep_matches_oracle():
