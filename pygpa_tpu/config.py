@@ -38,6 +38,14 @@ class GPAConfig:
     unwrap_mg_final: object = "v"
     unwrap_kmax_iterate: int = 25
     unwrap_kmax_final: int = 200
+    # Zoom-window tail cut (-ln G at the window edge) for the
+    # PRODUCTION f32 pipeline sweeps (make_displacement_extractor):
+    # 10 -> edge G ~ 4.5e-5. Measured on-chip at 4096^2: winner phase
+    # changes <= 5e-7 rad vs the exact-grade default while the deep-dot
+    # window shrinks 256->192 on the padded axis (3-peak sweep
+    # 54 -> 43 ms). The generic sweep API keeps ops/wfr._GAUSS_CUT=22
+    # (tail below f32 resolution) for f64-grade oracle equivalence.
+    pipeline_gauss_cut: float = 10.0
     # Graphene lattice constant in nm (geometric_phase_analysis.py:352-368).
     a_0: float = 0.246
     # Poisson ratio for heterostrain decompositions

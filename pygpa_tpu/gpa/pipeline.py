@@ -231,6 +231,7 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
                                 deconvolve=False, chunk=8,
                                 unwrap_kmax=DEFAULTS.unwrap_kmax_reconstruct,
                                 unwrap_coarse=None,
+                                gauss_cut=None,
                                 dtype=jnp.float32):
     """Build a single fully-jitted displacement-extraction program for
     a fixed image shape and k-vector set: 3 WFR sweeps on one shared
@@ -254,6 +255,12 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
     wlists = [jnp.asarray(w, dtype) for w in wlists]
     kv = jnp.asarray(kvecs_h, dtype)
     dr = 2 * sig
+    # production sweeps trade the exact-grade zoom-window tail (22,
+    # below f32 resolution) for DEFAULTS.pipeline_gauss_cut (edge
+    # G ~ 4.5e-5): <= 5e-7 rad winner-phase change measured on-chip,
+    # ~20% off the sweep's deep-dot window
+    gc = (DEFAULTS.pipeline_gauss_cut if gauss_cut is None
+          else float(gauss_cut))
 
     wlists_h = [np.asarray(w) for w in wlists]
 
@@ -268,7 +275,7 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
             # fused TPU path; per-peak sweeps elsewhere
             phases_demod, weights = wfr_sweep_phase_weight_multi(
                 img0, wlists_h, sig, dr, spectrum=spectrum,
-                chunk=chunk)
+                chunk=chunk, gauss_cut=gc)
         with jax.named_scope("gpa.reconstruct"):
             u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
                                              kmax=unwrap_kmax,

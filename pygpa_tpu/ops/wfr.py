@@ -312,14 +312,15 @@ def _plan_zoom(shape, wlist, sigma, *, pad_bins=6, gauss_cut=None,
     return _zoom_window(n, c0, half0), _zoom_window(m, c1, half1)
 
 
-def _plan_zoom_multi(shape, wlists, sigma):
+def _plan_zoom_multi(shape, wlists, sigma, gauss_cut=None):
     """Per-peak zoom plans with UNIFIED window shapes: when the
     per-peak passbands round to different widths, re-plan every peak
     with the maximum half-widths (widening a window is exact — the
     extra bins carry ~zero Gaussian weight) so the grouped
     single-launch kernel stays applicable. Returns a list of plans
     (None entries where no zoom is worthwhile)."""
-    plans = [_plan_zoom(shape, np.asarray(w), float(sigma))
+    plans = [_plan_zoom(shape, np.asarray(w), float(sigma),
+                        gauss_cut=gauss_cut)
              for w in wlists]
     if (all(p is not None for p in plans)
             and len({(p[0].shape[0], p[1].shape[0])
@@ -327,7 +328,8 @@ def _plan_zoom_multi(shape, wlists, sigma):
         h0 = max(p[0].shape[0] for p in plans) // 2
         h1 = max(p[1].shape[0] for p in plans) // 2
         plans = [_plan_zoom(shape, np.asarray(w), float(sigma),
-                            min_half=(h0, h1)) for w in wlists]
+                            gauss_cut=gauss_cut, min_half=(h0, h1))
+                 for w in wlists]
     return plans
 
 
@@ -486,12 +488,16 @@ def _wfr_sweep_zoom_pw(spectrum, wlist, idx0, idx1, sigma, dr, chunk):
 
 
 def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
-                           spectrum=None, chunk=8):
+                           spectrum=None, chunk=8, gauss_cut=None):
     """Demodulated winner phase + interior-masked weight of a WFR
     sweep — the exact inputs reconstruct_u_inv_from_demod consumes
     (weight = sqrt(absq) * (interior mask + 1e-6), the rim mask of
     extract_displacement_field, geometric_phase_analysis.py:923-926).
-    Kernel-emitted on the fused TPU path; XLA elsewhere."""
+    Kernel-emitted on the fused TPU path; XLA elsewhere.
+
+    gauss_cut trims the kernel path's zoom window (see _plan_zoom);
+    the XLA fallback re-plans internally at the exact-grade default,
+    so the knob only affects the fused TPU route."""
     if int(dr) < 1:
         # at dr=0 the reference's .at[0:-0, 0:-0] rim is an EMPTY slice
         # (weight floor everywhere) while the kernel's interior test is
@@ -505,7 +511,8 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
     shape = spectrum.shape
     plan = None
     if not isinstance(wlist, jax.core.Tracer):
-        plan = _plan_zoom(shape, np.asarray(wlist), float(sigma))
+        plan = _plan_zoom(shape, np.asarray(wlist), float(sigma),
+                          gauss_cut=gauss_cut)
     if (plan is not None and _use_pallas_sweep()
             and jnp.zeros((), spectrum.real.dtype).dtype == jnp.float32
             and shape[0] % 128 == 0 and shape[1] % 128 == 0
@@ -565,7 +572,8 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                                  spectrum=None, screen=None, chunk=8,
-                                 with_grad=False, krefs=None):
+                                 with_grad=False, krefs=None,
+                                 gauss_cut=None):
     """Demodulated winner phases + rim-masked weights for ALL Bragg
     peaks of a pipeline sweep. On the fused TPU path the G sweeps run
     as ONE grouped kernel launch (no per-peak launch overhead; group
@@ -592,7 +600,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
     concrete = all(not isinstance(w, jax.core.Tracer) for w in wlists)
     plans = None
     if concrete:
-        plans = _plan_zoom_multi(shape, wlists, float(sigma))
+        plans = _plan_zoom_multi(shape, wlists, float(sigma),
+                                 gauss_cut=gauss_cut)
     use_grouped = (
         plans is not None and all(p is not None for p in plans)
         and _use_pallas_sweep()
@@ -636,7 +645,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                                             jnp.asarray(w)[0],
                                             sigma, dr,
                                             spectrum=spectrum,
-                                            chunk=chunk)
+                                            chunk=chunk,
+                                            gauss_cut=gauss_cut)
             phs.append(ph)
             wts.append(wt)
     if with_grad:

@@ -685,3 +685,46 @@ def test_phase_weight_multi_grad_matches_wfr_sweep():
         np.testing.assert_allclose(np.asarray(gd[i]),
                                    np.asarray(g["grad"]),
                                    rtol=0, atol=1e-6)
+
+
+def test_zoom_window_trim_accuracy():
+    """The production pipeline's trimmed zoom window
+    (DEFAULTS.pipeline_gauss_cut, edge G ~ e^-10) changes the sweep
+    lock-in by less than ~1e-4 of its peak magnitude relative to the
+    exact-grade default window (edge G ~ e^-22, sub-f32): the window
+    truncation only drops Gaussian tail mass. Validated here on the
+    XLA zoom path in float64 so the bound is the truncation itself,
+    not f32 rounding (on-chip counterpart: 5e-7 rad winner-phase
+    change at 4096^2)."""
+    import jax
+    from pygpa_tpu.config import DEFAULTS
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import _plan_zoom, _wfr_sweep_zoom
+
+    size, sigma = 512, 8
+    r_k, theta = 0.05, 6.0
+    img = np.asarray(hexlattice_gen(r_k, theta, order=1, size=size),
+                     np.float64)
+    k = np.array(generate_ks(r_k, theta))[0]
+    kw = np.linalg.norm(k) / 2.5
+    wxs = np.arange(k[0] - kw, k[0] + kw, kw)
+    wys = np.arange(k[1] - kw, k[1] + kw, kw)
+    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+    wlist = np.stack([wx.ravel(), wy.ravel()], -1)
+
+    spectrum = jnp.fft.fft2(jnp.asarray(img - img.mean()))
+    plan22 = _plan_zoom((size, size), wlist, float(sigma))
+    plan10 = _plan_zoom((size, size), wlist, float(sigma),
+                        gauss_cut=DEFAULTS.pipeline_gauss_cut)
+    # the trim must actually shrink the window on this fixture,
+    # otherwise the comparison below is vacuous
+    assert (plan10[0].shape[0] < plan22[0].shape[0]
+            or plan10[1].shape[0] < plan22[1].shape[0])
+    outs = {}
+    for name, plan in (("wide", plan22), ("trim", plan10)):
+        absq, lockin, idx, _ = _wfr_sweep_zoom(
+            spectrum, jnp.asarray(wlist), jnp.asarray(plan[0]),
+            jnp.asarray(plan[1]), float(sigma), False, 4)
+        outs[name] = np.asarray(lockin)
+    scale = np.abs(outs["wide"]).max()
+    assert np.abs(outs["trim"] - outs["wide"]).max() < 2e-4 * scale
