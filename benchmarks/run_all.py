@@ -113,10 +113,10 @@ def config2g():
     @jax.jit
     def step(image):
         img0 = image - image.mean()
-        spec = jnp.fft.fft2(img0)
-        # all 3 grad sweeps in ONE grouped kernel launch
+        # all 3 grad sweeps in ONE grouped kernel launch; the kernel
+        # path computes its spectrum windows directly (no full fft2)
         _, weights, grads = wfr_sweep_phase_weight_multi(
-            img0, wlists, sigma, 2 * sigma, spectrum=spec,
+            img0, wlists, sigma, 2 * sigma,
             with_grad=True, krefs=ks)
         return calc_props_from_phasegradient(kv, grads, weights, 1.0)
 

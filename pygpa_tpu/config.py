@@ -27,6 +27,16 @@ class GPAConfig:
     # polish); keeps ~25% of the V-cycle's coarse-level transforms off
     # the clock
     unwrap_kmax_mg: int = 6
+    # CG iterations at the coarse//2 mid level of the default multigrid
+    # schedule. "auto" = skip the level on LARGE images (mid grid >=
+    # 1024 px: measured on-chip at 4096^2 the level costs 14.6 ms of
+    # the 51.4 ms unwrap while the V-branch finest level's coarse
+    # revisit absorbs the defect — bench gates move zero-disp
+    # 0.0010->0.0014 px, deformed 0.066->0.073 px, ~15% e2e win) but
+    # keep 1 iteration on small ones (at 500^2 skipping fails the
+    # noisy reference gate: 0.907 > 0.9 px). An int forces that many
+    # iterations at the mid level everywhere (0 = always skip).
+    unwrap_mg_mid: object = "auto"
     # finest-level strategy of the multigrid unwrap schedule: 1 = one
     # full-resolution DCT-preconditioned CG step (exact-path default),
     # "v"/"vv" = smooth/coarse-correct/smooth V-branch rounds

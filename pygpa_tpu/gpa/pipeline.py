@@ -268,14 +268,13 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
     def run(image):
         image = image.astype(dtype)
         img0 = image - image.mean()
-        with jax.named_scope("gpa.spectrum"):
-            spectrum = jnp.fft.fft2(img0)
         with jax.named_scope("gpa.wfr_sweeps"):
             # all Bragg peaks in one grouped kernel launch on the
-            # fused TPU path; per-peak sweeps elsewhere
+            # fused TPU path (its tiny spectrum windows come from
+            # direct DFT matmuls — no full-size fft2 at all);
+            # per-peak sweeps elsewhere compute the fft2 lazily
             phases_demod, weights = wfr_sweep_phase_weight_multi(
-                img0, wlists_h, sig, dr, spectrum=spectrum,
-                chunk=chunk, gauss_cut=gc)
+                img0, wlists_h, sig, dr, chunk=chunk, gauss_cut=gc)
         with jax.named_scope("gpa.reconstruct"):
             u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
                                              kmax=unwrap_kmax,

@@ -114,27 +114,30 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         # (window, destination scratch) pairs: the lock-in spectrum
         # window and, on the grad path, the row-derivative window S2 =
         # (2 pi i f0) * S whose second stage yields dM/d(row).
-        srcs = [(sr_ref[:], si_ref[:], t_ref, tlo_ref)]
+        srcs = [(jnp.concatenate([sr_ref[:], si_ref[:]], axis=1),
+                 t_ref, tlo_ref)]
         if emit_grad:
-            srcs.append((s2r_ref[:], s2i_ref[:], tx_ref, txlo_ref))
+            srcs.append((jnp.concatenate(
+                [s2r_ref[:], s2i_ref[:]], axis=1), tx_ref, txlo_ref))
         for b0 in range(0, C, _STAGE1_SB):
             b1 = min(b0 + _STAGE1_SB, C)
-            a0cg = jnp.concatenate(
-                [a0c * gx_ref[i][None, :] for i in range(b0, b1)],
-                axis=0)                    # (SB*R, W0)
-            a0sg = jnp.concatenate(
-                [a0s * gx_ref[i][None, :] for i in range(b0, b1)],
-                axis=0)
-            for (xr, xi, dst, dstlo) in srcs:
-                cr = dot(a0cg, xr, _D01)   # (SB*R, W1)
-                cs = dot(a0cg, xi, _D01)
-                ssr = dot(a0sg, xr, _D01)
-                ssi = dot(a0sg, xi, _D01)
+            # ONE (2*SB*R, W0) @ (W0, 2*W1) dot per (sub-batch, source
+            # window) instead of 4 skinny ones (see _grouped_kernel)
+            a0g = jnp.concatenate(
+                [a0c * gx_ref[i][None, :] for i in range(b0, b1)]
+                + [a0s * gx_ref[i][None, :] for i in range(b0, b1)],
+                axis=0)                    # (2*SB*R, W0)
+            half = (b1 - b0) * R
+            for (sri, dst, dstlo) in srcs:
+                both = dot(a0g, sri, _D01)   # (2*SB*R, 2*W1)
+                W1s = sri.shape[1] // 2
                 for i in range(b0, b1):
                     sl = slice((i - b0) * R, (i - b0 + 1) * R)
+                    sl2 = slice(half + (i - b0) * R,
+                                half + (i - b0 + 1) * R)
                     gyi = gy_ref[i][None, :]
-                    tr = (cr[sl] - ssi[sl]) * gyi
-                    ti = (cs[sl] + ssr[sl]) * gyi
+                    tr = (both[sl, :W1s] - both[sl2, W1s:]) * gyi
+                    ti = (both[sl, W1s:] + both[sl2, :W1s]) * gyi
                     if high:
                         # store bf16 hi/lo once — the per-step second
                         # stage then reads half the bytes and skips
@@ -427,27 +430,38 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             # (window, destination scratch) pairs: the lock-in window
             # and, on the grad path, the row-derivative window
             # S2 = (2 pi i f0) * S whose second stage is dM/d(row)
-            srcs = [(sr_ref[g], si_ref[g], t_ref)]
+            srcs = [(jnp.concatenate([sr_ref[g], si_ref[g]], axis=1),
+                     t_ref)]
             if emit_grad:
-                srcs.append((s2r_ref[g], s2i_ref[g], tx_ref))
+                srcs.append((jnp.concatenate(
+                    [s2r_ref[g], s2i_ref[g]], axis=1), tx_ref))
             for b0 in range(0, P, _STAGE1_SB):
                 b1 = min(b0 + _STAGE1_SB, P)
-                a0cg = jnp.concatenate(
+                # ONE (2*SB*R, W0) @ (W0, 2*W1) dot per (sub-batch,
+                # source window) instead of 4 skinny (SB*R, W0) @
+                # (W0, W1) dots: same MXU FLOPs, but one bf16x3
+                # operand split and far better N-dim utilization
+                # (2*W1 lanes vs W1).
+                a0g = jnp.concatenate(
                     [a0c * gx_ref[g, i][None, :]
-                     for i in range(b0, b1)], axis=0)  # (SB*R, W0)
-                a0sg = jnp.concatenate(
-                    [a0s * gx_ref[g, i][None, :]
-                     for i in range(b0, b1)], axis=0)
-                for (sr, si, dst) in srcs:
-                    cr = dot(a0cg, sr, _D01)           # (SB*R, W1)
-                    cs = dot(a0cg, si, _D01)
-                    ssr = dot(a0sg, sr, _D01)
-                    ssi = dot(a0sg, si, _D01)
+                     for i in range(b0, b1)]
+                    + [a0s * gx_ref[g, i][None, :]
+                       for i in range(b0, b1)], axis=0)  # (2*SB*R, W0)
+                half = (b1 - b0) * R
+                for (sri, dst) in srcs:
+                    both = dot(a0g, sri, _D01)       # (2*SB*R, 2*W1)
+                    W1s = sri.shape[1] // 2
                     for i in range(b0, b1):
                         sl = slice((i - b0) * R, (i - b0 + 1) * R)
+                        sl2 = slice(half + (i - b0) * R,
+                                    half + (i - b0 + 1) * R)
+                        cr = both[sl, :W1s]
+                        cs = both[sl, W1s:]
+                        ssr = both[sl2, :W1s]
+                        ssi = both[sl2, W1s:]
                         gyi = gy_ref[g, i][None, :]
-                        tr = (cr[sl] - ssi[sl]) * gyi
-                        ti = (cs[sl] + ssr[sl]) * gyi
+                        tr = (cr - ssi) * gyi
+                        ti = (cs + ssr) * gyi
                         s = (g * P + i) * R
                         if high:
                             # single [hi | lo] scratch: lanes

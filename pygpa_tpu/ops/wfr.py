@@ -342,6 +342,33 @@ def _zoom_basis(n, idx, dtype):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def _dft_windows(image, idx0s, idx1s, rdt):
+    """Forward-DFT spectrum windows of a real image computed DIRECTLY
+    as skinny DFT contractions: the zoom sweep consumes only the G tiny
+    (W0, W1) windows, so the full-size fft2 (~10 ms at 4096^2 on-chip)
+    collapses to two stacked (G*W0, n) @ (n, m) dots plus G small
+    second stages (~1 ms). Bit-equal to windowing fft2(image) up to
+    matmul rounding (gated e2e like every other HIGH contraction).
+    Returns (Sr, Si): (G, W0, W1) raw (unnormalized) window values."""
+    n, m = image.shape
+    G, W0 = idx0s.shape
+    # e^{-2 pi i r idx / n} = cos - i sin of the inverse-basis angle;
+    # building the bases on the flattened index vector yields the
+    # G-stacked (n, G*W0) operand directly (no moveaxis relayout)
+    A0c, A0s = _zoom_basis(n, idx0s.reshape(-1), rdt)   # (n, G*W0)
+    hi = _ZOOM_PRECISION
+    Ur = jnp.einsum("nw,nm->wm", A0c, image, precision=hi)
+    Ui = -jnp.einsum("nw,nm->wm", A0s, image, precision=hi)
+    Ur = Ur.reshape(G, W0, m)
+    Ui = Ui.reshape(G, W0, m)
+    A1c, A1s = jax.vmap(lambda i: _zoom_basis(m, i, rdt))(idx1s)
+    Sr = (jnp.einsum("gwm,gmv->gwv", Ur, A1c, precision=hi)
+          + jnp.einsum("gwm,gmv->gwv", Ui, A1s, precision=hi))
+    Si = (jnp.einsum("gwm,gmv->gwv", Ui, A1c, precision=hi)
+          - jnp.einsum("gwm,gmv->gwv", Ur, A1s, precision=hi))
+    return Sr, Si
+
+
 # Fully-fused sweep (ops.pallas_sweep): both DFT matmul stages and the
 # selection run in one kernel — neither the (C, N, W1) partials nor the
 # (C, N, M) candidate planes ever touch HBM, and the whole sweep is one
@@ -531,20 +558,33 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
 
 
 @partial(jax.jit,
-         static_argnames=("sigma", "dr", "screen", "with_grad"))
+         static_argnames=("sigma", "dr", "screen", "with_grad",
+                          "direct"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
-                               screen=None, with_grad=False):
+                               screen=None, with_grad=False,
+                               direct=False):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
     kernel): per group its own spectrum window, Gaussian factors and
     DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1).
     with_grad additionally returns the kernel-emitted winner
     phase-gradient planes (gx, gy), each (G, n, m), BEFORE the
-    wfr2_grad_opt rebase epilogue (the caller applies it)."""
+    wfr2_grad_opt rebase epilogue (the caller applies it).
+
+    direct=True: `spectrum` is the real (n, m) IMAGE and the windows
+    are computed by skinny DFT matmuls (_dft_windows) — the full-size
+    fft2 never runs."""
     n, m = spectrum.shape
-    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+    rdt = (spectrum.dtype if direct
+           else jnp.zeros((), spectrum.real.dtype).dtype)
     scale = jnp.asarray(1.0 / (n * m), rdt)
-    S = jax.vmap(lambda i0, i1: jnp.take(
-        jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
+    if direct:
+        Sr_raw, Si_raw = _dft_windows(spectrum, idx0s, idx1s, rdt)
+    else:
+        S = jax.vmap(lambda i0, i1: jnp.take(
+            jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
+        Sr_raw, Si_raw = S.real, S.imag
+    Sr = Sr_raw * scale
+    Si = Si_raw * scale
     A0c, A0s = jax.vmap(lambda i: _zoom_basis(n, i, rdt))(idx0s)
     A1c, A1s = jax.vmap(lambda i: _zoom_basis(m, i, rdt))(idx1s)
     f0 = jnp.where(idx0s < n // 2 + n % 2, idx0s,
@@ -559,13 +599,13 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
     if with_grad:
         tpf0 = (2 * jnp.pi) * f0
         tpf1 = (2 * jnp.pi) * f1
-        grad_ops = (-tpf0[:, :, None] * S.imag * scale,
-                    tpf0[:, :, None] * S.real * scale,
+        grad_ops = (-tpf0[:, :, None] * Si,
+                    tpf0[:, :, None] * Sr,
                     -A1s * tpf1[:, None, :],
                     A1c * tpf1[:, None, :])
     from .pallas_sweep import fused_zoom_sweep_grouped
     return fused_zoom_sweep_grouped(
-        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
+        Sr, Si, gxs, gys, A0c, A0s, A1c, A1s,
         grad_ops, dr=int(dr), precision=_ZOOM_PRECISION,
         screen=screen)
 
@@ -593,10 +633,16 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
             "wfr_sweep_phase_weight_multi(with_grad=True) requires "
             "krefs (the per-peak nominal k-vectors)")
     if spectrum is None:
+        # the fft2 is DEFERRED: the grouped kernel path computes its
+        # tiny spectrum windows directly from the image (_dft_windows)
+        # and never needs the full-size transform; the fallback paths
+        # below compute it lazily
         image = jnp.asarray(image)
-        spectrum = jnp.fft.fft2(image)
-    shape = spectrum.shape
-    rdt = jnp.zeros((), spectrum.real.dtype).dtype
+        shape = image.shape
+        rdt = jnp.zeros((), jnp.asarray(image).real.dtype).dtype
+    else:
+        shape = spectrum.shape
+        rdt = jnp.zeros((), spectrum.real.dtype).dtype
     concrete = all(not isinstance(w, jax.core.Tracer) for w in wlists)
     plans = None
     if concrete:
@@ -615,16 +661,19 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
         wl = jnp.asarray(np.stack([np.asarray(w) for w in wlists]))
         idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
         idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
-        out = _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s,
-                                         float(sigma), int(dr),
-                                         screen=screen,
-                                         with_grad=with_grad)
+        direct = spectrum is None
+        out = _wfr_sweep_zoom_pw_grouped(
+            image if direct else spectrum, wl, idx0s, idx1s,
+            float(sigma), int(dr), screen=screen,
+            with_grad=with_grad, direct=direct)
         if not with_grad:
             return out
         ph, wt, ggx, ggy = out
         g = (jnp.stack([ggx, ggy], axis=-1)
              - 2 * jnp.pi * jnp.asarray(krefs, rdt)[:, None, None, :])
         return ph, wt, wrap_to_pi(2.0 * g) / 2.0
+    if spectrum is None:
+        spectrum = jnp.fft.fft2(image)
     phs, wts, gds = [], [], []
     for i, w in enumerate(wlists):
         if with_grad:

@@ -238,7 +238,8 @@ def _jacobi_dinv(rk, WWx, WWy, omega=_JACOBI_OMEGA):
 def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                             refine_iters=3,
                             precision=jax.lax.Precision.HIGH,
-                            schedule=None, precond_factory=None):
+                            schedule=None, precond_factory=None,
+                            v_coarse_mult=4):
     """Multigrid-accelerated gradient integration: solve the weighted
     Poisson problem on a coarse grid (GPA displacement gradients are
     band-limited by the sigma-wide lock-in window), then walk a
@@ -270,9 +271,20 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             # (Damped-Jacobi or alpha=1 Richardson finals were tried
             # and FAIL the gates — the coarse levels' block-averaged
             # weights leave smooth defect only the preconditioned
-            # line-search step removes.)
-            schedule = ((c, int(kmax)), (c // 2, 1),
-                        (1, DEFAULTS.unwrap_mg_final))
+            # line-search step removes.) The mid level is skipped on
+            # large images (DEFAULTS.unwrap_mg_mid="auto", mid grid
+            # >= 1024 px): the V-branch finest level revisits a
+            # coarse grid anyway and on-chip the level costs ~30% of
+            # the whole unwrap for a sub-gate accuracy delta; small
+            # images keep it (see config.py).
+            mid_cfg = DEFAULTS.unwrap_mg_mid
+            if mid_cfg == "auto":
+                mid_iters = 0 if min(n, m) // (c // 2) >= 1024 else 1
+            else:
+                mid_iters = int(mid_cfg)
+            mid = ((c // 2, mid_iters),) if mid_iters else ()
+            schedule = ((c, int(kmax)),) + mid \
+                + ((1, DEFAULTS.unwrap_mg_final),)
         else:
             schedule = ((c, int(kmax)), (1, int(refine_iters)))
 
@@ -338,7 +350,7 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             Dinv = _jacobi_dinv(rk, WWx, WWy)
             d = rk * Dinv
             r = rk - _apply_q(d, WWx, WWy)
-            cv = 4 * int(c)
+            cv = int(v_coarse_mult) * int(c)
             dxv, dyv, wv = level_data(cv)
             _, WWxv, WWyv = _residual(dxv, dyv, wv)
             prev = precond_factory((n // cv, m // cv)) \

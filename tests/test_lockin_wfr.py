@@ -728,3 +728,125 @@ def test_zoom_window_trim_accuracy():
         outs[name] = np.asarray(lockin)
     scale = np.abs(outs["wide"]).max()
     assert np.abs(outs["trim"] - outs["wide"]).max() < 2e-4 * scale
+
+
+def test_dft_windows_match_fft_windows():
+    """_dft_windows (skinny forward-DFT matmuls) reproduces the fft2
+    spectrum windows the zoom sweep consumes — the production pipeline
+    skips the full-size FFT entirely. f64 here so the bound is the
+    formulation, not matmul rounding."""
+    import jax
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import (_dft_windows, _plan_zoom_multi)
+
+    size, sigma = 256, 8
+    r_k, theta = 0.05, 6.0
+    rng = np.random.default_rng(7)
+    img = (np.asarray(hexlattice_gen(r_k, theta, order=1, size=size),
+                      np.float64)
+           + 0.05 * rng.standard_normal((size, size)))
+    img -= img.mean()
+    ks = np.array(generate_ks(r_k, theta))[:3]
+    kw = np.linalg.norm(ks, axis=1).mean() / 2.5
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kw)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kw)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    plans = _plan_zoom_multi((size, size), wlists, float(sigma))
+    assert all(p is not None for p in plans)
+    idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
+    idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
+    Sr, Si = _dft_windows(jnp.asarray(img), idx0s, idx1s, jnp.float64)
+    spec = np.fft.fft2(img)
+    for g in range(len(plans)):
+        ref = spec[np.ix_(np.asarray(idx0s[g]), np.asarray(idx1s[g]))]
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(Sr[g]), ref.real,
+                                   rtol=0, atol=1e-9 * scale)
+        np.testing.assert_allclose(np.asarray(Si[g]), ref.imag,
+                                   rtol=0, atol=1e-9 * scale)
+
+
+def test_multi_sweep_direct_windows_match_spectrum_path():
+    """wfr_sweep_phase_weight_multi with spectrum=None must equal the
+    explicit-spectrum call on the XLA fallback (CPU both route through
+    the same zoom sweep after an internal fft2) — the deferred-FFT
+    restructuring must not change any fallback numerics."""
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import wfr_sweep_phase_weight_multi
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta))[:2]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    kw = knorms.mean() / 2.5
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kw / 2)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kw / 2)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    img0 = jnp.asarray(img - img.mean())
+    dr = 2 * sigma
+    ph0, wt0 = wfr_sweep_phase_weight_multi(
+        img0, wlists, sigma, dr, spectrum=jnp.fft.fft2(img0))
+    ph1, wt1 = wfr_sweep_phase_weight_multi(img0, wlists, sigma, dr)
+    np.testing.assert_array_equal(np.asarray(ph0), np.asarray(ph1))
+    np.testing.assert_array_equal(np.asarray(wt0), np.asarray(wt1))
+
+
+def test_grouped_kernel_direct_windows(monkeypatch):
+    """The grouped kernel driven by DIRECT DFT windows (interpret mode,
+    forced pallas path) matches the spectrum-fed grouped kernel to
+    matmul rounding: phases equal where the winner amplitude is not
+    degenerate, weights to ~1e-5 relative."""
+    import jax
+    import pygpa_tpu.ops.wfr as wfr_mod
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta))[:2]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    kw = knorms.mean() / 2.5
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kw / 2)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kw / 2)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    img0 = jnp.asarray((img - img.mean()).astype(np.float32))
+
+    # force the grouped pallas path in interpret mode on CPU
+    monkeypatch.setattr(wfr_mod, "_use_pallas_sweep", lambda: True)
+    import pygpa_tpu.ops.pallas_sweep as ps
+    orig = ps.fused_zoom_sweep_grouped
+
+    def interp(*a, **kw_):
+        kw_["interpret"] = True
+        return orig(*a, **kw_)
+
+    monkeypatch.setattr(ps, "fused_zoom_sweep_grouped", interp)
+    dr = 2 * sigma
+    ph0, wt0 = wfr_mod.wfr_sweep_phase_weight_multi(
+        img0, wlists, sigma, dr, spectrum=jnp.fft.fft2(img0))
+    ph1, wt1 = wfr_mod.wfr_sweep_phase_weight_multi(
+        img0, wlists, sigma, dr)
+    wt0 = np.asarray(wt0)
+    wt1 = np.asarray(wt1)
+    np.testing.assert_allclose(wt1, wt0, rtol=0,
+                               atol=3e-5 * wt0.max())
+    dph = np.abs(np.asarray(ph0) - np.asarray(ph1))
+    dph = np.minimum(dph, 2 * np.pi - dph)
+    # away from near-tie winner flips the phase must agree tightly;
+    # allow a tiny fraction of flip pixels
+    assert (dph > 1e-3).mean() < 1e-3
+    assert np.median(dph) < 1e-5
