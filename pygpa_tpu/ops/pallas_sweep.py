@@ -392,11 +392,11 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
 def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     a0c_ref, a0s_ref,
                     b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
-                    b1rs_ref, b1is_ref, ph_ref, w_ref,
-                    gxo_ref, gyo_ref,
+                    b1rs_ref, b1is_ref, kk_ref, ph_ref, w_ref,
+                    gxo_ref, gyo_ref, ux_ref, uy_ref, wn_ref,
                     t_ref, tx_ref, oa_ref, or_ref, oi_ref,
-                    la_ref, lx_ref, *,
-                    precision, emit_dr, emit_grad, screen):
+                    la_ref, lx_ref, ph_scr, wt_scr, cc_scr, rc_scr, *,
+                    precision, emit_dr, emit_grad, screen, emit_uv):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
     what make_displacement_extractor consumes — plus, with emit_grad,
@@ -405,7 +405,21 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
     completes inside each block, so no carry planes cross the launch
     at all. Group g's candidates contract against group g's spectrum
     window and bases; sharing the launch amortizes the grid and lets
-    group g+1's MXU dots overlap group g's VPU tournament."""
+    group g+1's MXU dots overlap group g's VPU tournament.
+
+    emit_uv: instead of the (G, n, m) phase/weight planes, emit the
+    RECONSTRUCTION PROLOGUE directly — the per-pixel weighted-lstsq
+    displacement gradients dudx/dudy (each (2, n, m), SHIFTED one
+    pixel: output[j] holds the diff ending at j, so callers slice
+    [..., 1:]) and the weight norm (n, m) — i.e. exactly the inputs of
+    the gradient-integration unwrap (reconstruct_u_inv_from_demod,
+    reference geometric_phase_analysis.py:196-245). Cross-tile wrapped
+    diffs come from scratch carries: the previous column block's last
+    phase/weight columns (cc_scr, grid iterates columns innermost) and
+    the previous row block's last rows (rc_scr, full image width; the
+    current row block only overwrites column ranges it has already
+    consumed). kk_ref carries 2*pi*kvecs in lanes 0:2. The G phase and
+    weight planes never touch HBM at all."""
     G, P, W0 = gx_ref.shape
     R = a0c_ref.shape[1]
     W1 = sr_ref.shape[2]
@@ -652,17 +666,94 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                             sel, (mi * myr - mr * myi) / den,
                             gyo_ref[g])
         dr, n, m = emit_dr
-        R_, Cc = ph_ref.shape[1:]
+        R_, Cc = oa_ref.shape
         r0 = pl.program_id(0) * R_
         c0 = pl.program_id(1) * Cc
-        ph_ref[g] = _atan2(om_i, om_r)
+        pht = _atan2(om_i, om_r)
         ii = jax.lax.broadcasted_iota(jnp.int32, (R_, Cc), 0) + r0
         jj = jax.lax.broadcasted_iota(jnp.int32, (R_, Cc), 1) + c0
         interior = ((ii >= dr) & (ii < n - dr)
                     & (jj >= dr) & (jj < m - dr))
         mask = jnp.where(interior, 1.0 + 1e-6, 1e-6).astype(
-            w_ref.dtype)
-        w_ref[g] = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
+            oa_ref.dtype)
+        wt = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
+        if emit_uv:
+            ph_scr[g * R_:(g + 1) * R_] = pht
+            wt_scr[g * R_:(g + 1) * R_] = wt
+        else:
+            ph_ref[g] = pht
+            w_ref[g] = wt
+
+    if not emit_uv:
+        return
+
+    # ---- uv epilogue: wrapped diffs + per-pixel weighted lstsq ----
+    # (the reconstruction prologue, reference
+    # geometric_phase_analysis.py:97-113,196-245, fused into the
+    # sweep launch; see the kernel docstring for the shifted layout
+    # and carry discipline)
+    R_, Cc = oa_ref.shape
+    c0 = pl.program_id(1) * Cc
+    two_pi = 6.283185307179586
+    pi = 3.14159265358979
+
+    def wrap(x):
+        # (x + pi) % (2*pi) - pi, floor-mod like jnp.mod for y > 0
+        t = x + pi
+        return t - two_pi * jnp.floor(t / two_pi) - pi
+
+    G_ = G
+    zero = jnp.zeros((R_, Cc), jnp.float32)
+    a00x = a01x = a11x = r0x = r1x = zero
+    a00y = a01y = a11y = r0y = r1y = zero
+    wsq = zero
+    for g in range(G_):
+        sl = slice(g * R_, (g + 1) * R_)
+        slw = slice((G_ + g) * R_, (G_ + g + 1) * R_)
+        pht = ph_scr[sl]
+        wt = wt_scr[sl]
+        k0 = kk_ref[g:g + 1, 0:1]          # (1, 1): 2*pi*k_row
+        k1 = kk_ref[g:g + 1, 1:2]          # (1, 1): 2*pi*k_col
+        # prev column block's last phase/weight column; prev row
+        # block's last row (read BEFORE this tile updates the carries)
+        pcol = cc_scr[sl, 127:128]
+        wcol = cc_scr[slw, 127:128]
+        prow = rc_scr[g * 8 + 7:g * 8 + 8, pl.ds(c0, Cc)]
+        wrow = rc_scr[(G_ + g) * 8 + 7:(G_ + g) * 8 + 8,
+                      pl.ds(c0, Cc)]
+        ph_left = jnp.concatenate([pcol, pht[:, :-1]], axis=1)
+        w_left = jnp.concatenate([wcol, wt[:, :-1]], axis=1)
+        ph_up = jnp.concatenate([prow, pht[:-1, :]], axis=0)
+        w_up = jnp.concatenate([wrow, wt[:-1, :]], axis=0)
+        # shifted diffs: position j holds the diff ENDING at j, with
+        # the demod plane-wave ramp entering as the constant k shift
+        dbdx = wrap(pht - ph_left + k1)
+        dbdy = wrap(pht - ph_up + k0)
+        wwx = w_left * w_left        # weight of diff j is w[j-1]
+        wwy = w_up * w_up
+        a00x += wwx * (k0 * k0)
+        a01x += wwx * (k0 * k1)
+        a11x += wwx * (k1 * k1)
+        r0x += wwx * k0 * dbdx
+        r1x += wwx * k1 * dbdx
+        a00y += wwy * (k0 * k0)
+        a01y += wwy * (k0 * k1)
+        a11y += wwy * (k1 * k1)
+        r0y += wwy * k0 * dbdy
+        r1y += wwy * k1 * dbdy
+        wsq += wt * wt
+        # update the carries for the right neighbor / next row block
+        cc_scr[sl, :] = pht[:, Cc - 128:]
+        cc_scr[slw, :] = wt[:, Cc - 128:]
+        rc_scr[pl.ds(g * 8, 8), pl.ds(c0, Cc)] = pht[R_ - 8:, :]
+        rc_scr[pl.ds((G_ + g) * 8, 8), pl.ds(c0, Cc)] = wt[R_ - 8:, :]
+    detx = a00x * a11x - a01x * a01x
+    dety = a00y * a11y - a01y * a01y
+    ux_ref[0] = (a11x * r0x - a01x * r1x) / detx
+    ux_ref[1] = (a00x * r1x - a01x * r0x) / detx
+    uy_ref[0] = (a11y * r0y - a01y * r1y) / dety
+    uy_ref[1] = (a00y * r1y - a01y * r0y) / dety
+    wn_ref[:] = jnp.sqrt(wsq)
 
 
 # Screening-pass knobs (HIGH-precision grouped sweep). _SCREEN is the
@@ -685,7 +776,7 @@ _SCREEN_EPS = 0.1
          static_argnames=("rows", "cols", "precision", "interpret",
                           "dr", "screen"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
-                             A1ss, grad_ops=None, *, dr,
+                             A1ss, grad_ops=None, uv_kk=None, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
                              rows=None, cols=None, interpret=False,
                              screen=None):
@@ -703,12 +794,21 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     (HIGH precision only; None = _SCREEN default, 0 disables). The
     full-resolution tournament then runs only over candidates that
     can win somewhere in each tile (typically 3-8 of P), cutting the
-    dominant pass-A MXU cost ~P/(P/screen + flagged)."""
+    dominant pass-A MXU cost ~P/(P/screen + flagged).
+
+    uv_kk: (G, 128) float32 with 2*pi*kvecs[g] in lanes 0:2 — switch
+    the emission to the fused RECONSTRUCTION PROLOGUE: returns
+    (dudx_s (2, n, m), dudy_s (2, n, m), wnorm (n, m)) with the diff
+    planes SHIFTED one pixel (see _grouped_kernel); the phase/weight
+    planes are never written. Mutually exclusive with grad_ops."""
     G, P, W0 = gxs.shape
     W1 = Srs.shape[2]
     n = A0cs.shape[1]
     m = A1cs.shape[1]
     emit_grad = grad_ops is not None
+    emit_uv = uv_kk is not None
+    if emit_uv and emit_grad:
+        raise ValueError("uv_kk and grad_ops are mutually exclusive")
     # 512-wide column blocks measured ~11% faster than 256 at 4096^2
     # (fewer grid steps -> fewer t_ref scratch re-reads and basis DMAs
     # between the deep dots); 1024 exceeds scoped VMEM. The grad path
