@@ -56,6 +56,14 @@ class GPAConfig:
     # 54 -> 43 ms). The generic sweep API keeps ops/wfr._GAUSS_CUT=22
     # (tail below f32 resolution) for f64-grade oracle equivalence.
     pipeline_gauss_cut: float = 10.0
+    # Fused sweep -> reconstruction-prologue emission: the grouped
+    # sweep kernel computes the wrapped phase diffs + per-pixel
+    # weighted lstsq in its epilogue and emits dudx/dudy/wnorm
+    # directly (5 planes instead of 6, and the XLA prologue's
+    # wrap/diff/lstsq work disappears). Only affects the fused TPU
+    # kernel route of make_displacement_extractor; the XLA fallback
+    # path is unchanged.
+    pipeline_fused_uv: bool = True
     # Graphene lattice constant in nm (geometric_phase_analysis.py:352-368).
     a_0: float = 0.246
     # Poisson ratio for heterostrain decompositions

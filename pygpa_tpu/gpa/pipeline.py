@@ -18,9 +18,11 @@ from ..config import DEFAULTS
 from ..core import interp
 from ..core.fourier import fourier_gaussian_multiplier, wiener_deconvolve
 from ..ops.wfr import (wfr_sweep, wfr_sweep_phase_weight,
-                       wfr_sweep_phase_weight_multi)
+                       wfr_sweep_phase_weight_multi,
+                       wfr_sweep_uv_multi)
 from .reconstruct import (reconstruct_u_inv_from_phases,
-                          reconstruct_u_inv_from_demod)
+                          reconstruct_u_inv_from_demod,
+                          reconstruct_u_inv_from_uv)
 
 
 def invert_u(us, iters=35, edge=0, mode="nearest", order=3):
@@ -247,10 +249,16 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
     sig = sigma if sigma is not None else int(np.ceil(1 / knorms.min()))
     kstep = kw / ksteps
     wlists = []
+    # fixed 2*ksteps points per axis: np.arange(pk-kw, pk+kw, kstep)
+    # has exactly ceil(2*kw/kstep) = 2*ksteps elements in exact
+    # arithmetic, but fp rounding of the endpoint can spill one extra
+    # sample for SOME peaks, leaving the Bragg peaks with unequal
+    # candidate counts — which silently disqualifies the grouped
+    # one-launch sweep kernel (it needs a uniform P)
+    steps = kstep * np.arange(2 * ksteps)
     for pk in kvecs_h:
-        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
-        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
-        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wx, wy = np.meshgrid(pk[0] - kw + steps, pk[1] - kw + steps,
+                             indexing="ij")
         wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
     wlists = [jnp.asarray(w, dtype) for w in wlists]
     kv = jnp.asarray(kvecs_h, dtype)
@@ -268,17 +276,33 @@ def make_displacement_extractor(shape, kvecs, sigma=None,
     def run(image):
         image = image.astype(dtype)
         img0 = image - image.mean()
-        with jax.named_scope("gpa.wfr_sweeps"):
-            # all Bragg peaks in one grouped kernel launch on the
-            # fused TPU path (its tiny spectrum windows come from
-            # direct DFT matmuls — no full-size fft2 at all);
-            # per-peak sweeps elsewhere compute the fft2 lazily
-            phases_demod, weights = wfr_sweep_phase_weight_multi(
-                img0, wlists_h, sig, dr, chunk=chunk, gauss_cut=gc)
-        with jax.named_scope("gpa.reconstruct"):
-            u = reconstruct_u_inv_from_demod(kv, phases_demod, weights,
-                                             kmax=unwrap_kmax,
-                                             unwrap_coarse=unwrap_coarse)
+        uv = None
+        if DEFAULTS.pipeline_fused_uv:
+            with jax.named_scope("gpa.wfr_sweeps_uv"):
+                # fully-fused route: the grouped kernel emits the
+                # reconstruction prologue (dudx/dudy/wnorm) straight
+                # from its epilogue — the phase/weight planes never
+                # reach HBM (None when the kernel path is unavailable)
+                uv = wfr_sweep_uv_multi(img0, wlists_h, sig, dr,
+                                        kvecs_h, gauss_cut=gc)
+        if uv is not None:
+            with jax.named_scope("gpa.reconstruct"):
+                u = reconstruct_u_inv_from_uv(
+                    *uv, kmax=unwrap_kmax,
+                    unwrap_coarse=unwrap_coarse)
+        else:
+            with jax.named_scope("gpa.wfr_sweeps"):
+                # all Bragg peaks in one grouped kernel launch on the
+                # fused TPU path (its tiny spectrum windows come from
+                # direct DFT matmuls — no full-size fft2 at all);
+                # per-peak sweeps elsewhere compute the fft2 lazily
+                phases_demod, weights = wfr_sweep_phase_weight_multi(
+                    img0, wlists_h, sig, dr, chunk=chunk,
+                    gauss_cut=gc)
+            with jax.named_scope("gpa.reconstruct"):
+                u = reconstruct_u_inv_from_demod(
+                    kv, phases_demod, weights, kmax=unwrap_kmax,
+                    unwrap_coarse=unwrap_coarse)
         if deconvolve:
             with jax.named_scope("gpa.deconvolve"):
                 u = gaussian_deconvolve(u, sig, dr)

@@ -392,11 +392,11 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
 def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     a0c_ref, a0s_ref,
                     b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
-                    b1rs_ref, b1is_ref, kk_ref, ph_ref, w_ref,
+                    b1rs_ref, b1is_ref, ph_ref, w_ref,
                     gxo_ref, gyo_ref, ux_ref, uy_ref, wn_ref,
                     t_ref, tx_ref, oa_ref, or_ref, oi_ref,
                     la_ref, lx_ref, ph_scr, wt_scr, cc_scr, rc_scr, *,
-                    precision, emit_dr, emit_grad, screen, emit_uv):
+                    precision, emit_dr, emit_grad, screen, uv_ks):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
     what make_displacement_extractor consumes — plus, with emit_grad,
@@ -418,8 +418,10 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
     phase/weight columns (cc_scr, grid iterates columns innermost) and
     the previous row block's last rows (rc_scr, full image width; the
     current row block only overwrites column ranges it has already
-    consumed). kk_ref carries 2*pi*kvecs in lanes 0:2. The G phase and
-    weight planes never touch HBM at all."""
+    consumed). uv_ks holds the STATIC per-group (2*pi*k_row,
+    2*pi*k_col) scalars (k-vectors are host-known at trace time;
+    Mosaic cannot broadcast a (1, 1) tile to both sublanes and
+    lanes). The G phase and weight planes never touch HBM at all."""
     G, P, W0 = gx_ref.shape
     R = a0c_ref.shape[1]
     W1 = sr_ref.shape[2]
@@ -677,14 +679,14 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         mask = jnp.where(interior, 1.0 + 1e-6, 1e-6).astype(
             oa_ref.dtype)
         wt = jnp.sqrt(jnp.maximum(oa, 0.0)) * mask
-        if emit_uv:
+        if uv_ks is not None:
             ph_scr[g * R_:(g + 1) * R_] = pht
             wt_scr[g * R_:(g + 1) * R_] = wt
         else:
             ph_ref[g] = pht
             w_ref[g] = wt
 
-    if not emit_uv:
+    if uv_ks is None:
         return
 
     # ---- uv epilogue: wrapped diffs + per-pixel weighted lstsq ----
@@ -712,8 +714,8 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         slw = slice((G_ + g) * R_, (G_ + g + 1) * R_)
         pht = ph_scr[sl]
         wt = wt_scr[sl]
-        k0 = kk_ref[g:g + 1, 0:1]          # (1, 1): 2*pi*k_row
-        k1 = kk_ref[g:g + 1, 1:2]          # (1, 1): 2*pi*k_col
+        k0 = float(uv_ks[g][0])            # static 2*pi*k_row
+        k1 = float(uv_ks[g][1])            # static 2*pi*k_col
         # prev column block's last phase/weight column; prev row
         # block's last row (read BEFORE this tile updates the carries)
         pcol = cc_scr[sl, 127:128]
@@ -774,9 +776,9 @@ _SCREEN_EPS = 0.1
 
 @partial(jax.jit,
          static_argnames=("rows", "cols", "precision", "interpret",
-                          "dr", "screen"))
+                          "dr", "screen", "uv_ks"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
-                             A1ss, grad_ops=None, uv_kk=None, *, dr,
+                             A1ss, grad_ops=None, uv_ks=None, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
                              rows=None, cols=None, interpret=False,
                              screen=None):
@@ -796,8 +798,8 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     can win somewhere in each tile (typically 3-8 of P), cutting the
     dominant pass-A MXU cost ~P/(P/screen + flagged).
 
-    uv_kk: (G, 128) float32 with 2*pi*kvecs[g] in lanes 0:2 — switch
-    the emission to the fused RECONSTRUCTION PROLOGUE: returns
+    uv_ks: STATIC G-tuple of (2*pi*k_row, 2*pi*k_col) float pairs —
+    switch the emission to the fused RECONSTRUCTION PROLOGUE: returns
     (dudx_s (2, n, m), dudy_s (2, n, m), wnorm (n, m)) with the diff
     planes SHIFTED one pixel (see _grouped_kernel); the phase/weight
     planes are never written. Mutually exclusive with grad_ops."""
@@ -806,9 +808,11 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     n = A0cs.shape[1]
     m = A1cs.shape[1]
     emit_grad = grad_ops is not None
-    emit_uv = uv_kk is not None
+    emit_uv = uv_ks is not None
     if emit_uv and emit_grad:
-        raise ValueError("uv_kk and grad_ops are mutually exclusive")
+        raise ValueError("uv_ks and grad_ops are mutually exclusive")
+    if emit_uv and len(uv_ks) != G:
+        raise ValueError("uv_ks must have one (k_row, k_col) per group")
     # 512-wide column blocks measured ~11% faster than 256 at 4096^2
     # (fewer grid steps -> fewer t_ref scratch re-reads and basis DMAs
     # between the deep dots); 1024 exceeds scoped VMEM. The grad path
@@ -872,10 +876,35 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                           memory_space=pltpu.VMEM)
     g_spec = gplane if emit_grad else dummy_spec()
     g_shape = (G, n, m) if emit_grad else (8, 128)
+    if emit_uv:
+        # the uv epilogue's carry discipline needs full-sublane row
+        # carries (8 rows) and a 128-lane column carry per tile
+        if rows < 8 or cols < 128:
+            raise ValueError("emit_uv needs rows >= 8 and cols >= 128")
+        ph_spec = w_spec = dummy_spec()
+        pw_shape = (8, 128)
+        uv_spec = pl.BlockSpec((2, rows, cols),
+                               lambda r, c: (0, r, c),
+                               memory_space=pltpu.VMEM)
+        wn_spec = pl.BlockSpec((rows, cols), lambda r, c: (r, c),
+                               memory_space=pltpu.VMEM)
+        uv_shape = (2, n, m)
+        wn_shape = (n, m)
+        ph_scr = pltpu.VMEM((G * rows, cols), jnp.float32)
+        wt_scr = pltpu.VMEM((G * rows, cols), jnp.float32)
+        cc_scr = pltpu.VMEM((2 * G * rows, 128), jnp.float32)
+        rc_scr = pltpu.VMEM((2 * G * 8, m), jnp.float32)
+    else:
+        ph_spec = w_spec = gplane
+        pw_shape = (G, n, m)
+        uv_spec = wn_spec = dummy_spec()
+        uv_shape = wn_shape = (8, 128)
+        ph_scr = wt_scr = pltpu.VMEM((8, 128), jnp.float32)
+        cc_scr = rc_scr = pltpu.VMEM((8, 128), jnp.float32)
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
                 emit_dr=(int(dr), n, m), emit_grad=emit_grad,
-                screen=screen),
+                screen=screen, uv_ks=uv_ks),
         grid=grid,
         in_specs=[const((G, W0, W1)), const((G, W0, W1)),
                   const((G, W0, W1)) if emit_grad else dummy_spec(),
@@ -889,11 +918,15 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                   colspec if emit_grad else dummy_spec(),
                   colspec if emit_grad else dummy_spec(),
                   sspec, sspec],
-        out_specs=(gplane, gplane, g_spec, g_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
-                   jax.ShapeDtypeStruct((G, n, m), Srs.dtype),
+        out_specs=(ph_spec, w_spec, g_spec, g_spec,
+                   uv_spec, uv_spec, wn_spec),
+        out_shape=(jax.ShapeDtypeStruct(pw_shape, Srs.dtype),
+                   jax.ShapeDtypeStruct(pw_shape, Srs.dtype),
                    jax.ShapeDtypeStruct(g_shape, Srs.dtype),
-                   jax.ShapeDtypeStruct(g_shape, Srs.dtype)),
+                   jax.ShapeDtypeStruct(g_shape, Srs.dtype),
+                   jax.ShapeDtypeStruct(uv_shape, Srs.dtype),
+                   jax.ShapeDtypeStruct(uv_shape, Srs.dtype),
+                   jax.ShapeDtypeStruct(wn_shape, Srs.dtype)),
         scratch_shapes=[
             pltpu.VMEM((G * P * rows, 4 * W1), jnp.bfloat16)
             if high else
@@ -902,12 +935,14 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
-            la_scr, lx_scr],
+            la_scr, lx_scr, ph_scr, wt_scr, cc_scr, rc_scr],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Srs, Sis, S2rs, S2is, gxs, gys, A0cs, A0ss, B1r, B1i,
       B1yr, B1yi, B1rs, B1is)
+    if emit_uv:
+        return out[4], out[5], out[6]
     return out[:4] if emit_grad else out[:2]
 
 

@@ -559,10 +559,10 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
 
 @partial(jax.jit,
          static_argnames=("sigma", "dr", "screen", "with_grad",
-                          "direct"))
+                          "direct", "uv_ks"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
                                screen=None, with_grad=False,
-                               direct=False):
+                               direct=False, uv_ks=None):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
     kernel): per group its own spectrum window, Gaussian factors and
     DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1).
@@ -572,7 +572,14 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
 
     direct=True: `spectrum` is the real (n, m) IMAGE and the windows
     are computed by skinny DFT matmuls (_dft_windows) — the full-size
-    fft2 never runs."""
+    fft2 never runs.
+
+    uv_ks: STATIC G-tuple of (k_row, k_col) nominal-k float pairs —
+    switch the kernel to the fused RECONSTRUCTION-PROLOGUE emission:
+    returns (dudx_s (2, n, m), dudy_s (2, n, m), wnorm (n, m))
+    shifted planes (see pallas_sweep.fused_zoom_sweep_grouped); the
+    phase/weight planes never leave VMEM. Mutually exclusive with
+    with_grad."""
     n, m = spectrum.shape
     rdt = (spectrum.dtype if direct
            else jnp.zeros((), spectrum.real.dtype).dtype)
@@ -603,17 +610,39 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
                     tpf0[:, :, None] * Sr,
                     -A1s * tpf1[:, None, :],
                     A1c * tpf1[:, None, :])
+    uv_tp = None
+    if uv_ks is not None:
+        if with_grad:
+            raise ValueError("uv_ks and with_grad are mutually "
+                             "exclusive")
+        uv_tp = tuple((2 * np.pi * k0, 2 * np.pi * k1)
+                      for k0, k1 in uv_ks)
     from .pallas_sweep import fused_zoom_sweep_grouped
     return fused_zoom_sweep_grouped(
         Sr, Si, gxs, gys, A0c, A0s, A1c, A1s,
-        grad_ops, dr=int(dr), precision=_ZOOM_PRECISION,
-        screen=screen)
+        grad_ops, uv_ks=uv_tp, dr=int(dr),
+        precision=_ZOOM_PRECISION, screen=screen)
+
+
+def wfr_sweep_uv_multi(image, wlists, sigma, dr, krefs, *,
+                       spectrum=None, screen=None, gauss_cut=None):
+    """Fused sweep + reconstruction prologue for ALL Bragg peaks in
+    one kernel launch: returns (dudx_s (2, N, M), dudy_s (2, N, M),
+    wnorm (N, M)) — the SHIFTED per-pixel weighted-lstsq displacement
+    gradients and weight norm that reconstruct_u_inv_from_uv
+    integrates (reference geometric_phase_analysis.py:97-113,196-245
+    collapsed into the sweep). Returns None when the grouped kernel
+    path is unavailable (caller falls back to
+    wfr_sweep_phase_weight_multi + reconstruct_u_inv_from_demod)."""
+    return wfr_sweep_phase_weight_multi(
+        image, wlists, sigma, dr, spectrum=spectrum, screen=screen,
+        gauss_cut=gauss_cut, krefs=krefs, _uv=True)
 
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                                  spectrum=None, screen=None, chunk=8,
                                  with_grad=False, krefs=None,
-                                 gauss_cut=None):
+                                 gauss_cut=None, _uv=False):
     """Demodulated winner phases + rim-masked weights for ALL Bragg
     peaks of a pipeline sweep. On the fused TPU path the G sweeps run
     as ONE grouped kernel launch (no per-peak launch overhead; group
@@ -628,10 +657,12 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
     k-vector: wrapToPi(2*(g - 2 pi k))/2,
     geometric_phase_analysis.py:812). Requires krefs: (G, 2) nominal
     k-vectors (one per peak)."""
-    if with_grad and krefs is None:
+    if (with_grad or _uv) and krefs is None:
         raise ValueError(
             "wfr_sweep_phase_weight_multi(with_grad=True) requires "
             "krefs (the per-peak nominal k-vectors)")
+    if with_grad and _uv:
+        raise ValueError("with_grad and _uv are mutually exclusive")
     if spectrum is None:
         # the fft2 is DEFERRED: the grouped kernel path computes its
         # tiny spectrum windows directly from the image (_dft_windows)
@@ -657,16 +688,25 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
         and len({np.asarray(w).shape[0] for w in wlists}) == 1
         and np.asarray(wlists[0]).shape[0] <= 48
         and int(dr) >= 1)
+    if not use_grouped and _uv:
+        return None
     if use_grouped:
         wl = jnp.asarray(np.stack([np.asarray(w) for w in wlists]))
         idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
         idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
         direct = spectrum is None
+        uv_tp = None
+        if _uv:
+            # k-vectors are host-known at trace time on this path
+            # (the pipeline passes numpy); static per-group scalars
+            # let the kernel fold them into its VPU epilogue
+            uv_tp = tuple((float(k[0]), float(k[1]))
+                          for k in np.asarray(krefs))
         out = _wfr_sweep_zoom_pw_grouped(
             image if direct else spectrum, wl, idx0s, idx1s,
             float(sigma), int(dr), screen=screen,
-            with_grad=with_grad, direct=direct)
-        if not with_grad:
+            with_grad=with_grad, direct=direct, uv_ks=uv_tp)
+        if _uv or not with_grad:
             return out
         ph, wt, ggx, ggy = out
         g = (jnp.stack([ggx, ggy], axis=-1)

@@ -850,3 +850,139 @@ def test_grouped_kernel_direct_windows(monkeypatch):
     # allow a tiny fraction of flip pixels
     assert (dph > 1e-3).mean() < 1e-3
     assert np.median(dph) < 1e-5
+
+
+def test_grouped_sweep_uv_matches_xla_prologue():
+    """The uv_kk emission (fused reconstruction prologue: wrapped
+    diffs + per-pixel weighted lstsq inside the sweep launch) matches
+    the XLA prologue of reconstruct_u_inv_from_demod applied to the
+    same kernel's phase/weight planes, up to the shifted layout
+    (output position j holds the diff ending at j; column 0 / row 0
+    are carry garbage). Interpret mode on CPU."""
+    import jax
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops import wfr as W
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep_grouped
+    from pygpa_tpu.solvers.lstsq import weighted_lstsq_stack
+    from pygpa_tpu.core.mathtools import wrap_to_pi
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  kappa=1.001, psi=10.0,
+                                  dtype=np.float32))
+    ks = np.array(generate_ks(r_k, theta, kappa=1.001, psi=10.0))[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    dr = 2 * sigma
+    kw = knorms.mean() / 2.5
+    kstep = kw / 2
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    pmin = min(w.shape[0] for w in wlists)
+    wlists = [w[:pmin] for w in wlists]
+
+    img0 = jnp.asarray(img - img.mean())
+    spectrum = jnp.fft.fft2(img0)
+    plans = [W._plan_zoom((size, size), w, float(sigma))
+             for w in wlists]
+    assert all(p is not None for p in plans)
+    n = m = size
+    rdt = jnp.float32
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
+    idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
+    wl = jnp.asarray(np.stack(wlists))
+    S = jax.vmap(lambda i0, i1: jnp.take(
+        jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
+    A0c, A0s = jax.vmap(lambda i: W._zoom_basis(n, i, rdt))(idx0s)
+    A1c, A1s = jax.vmap(lambda i: W._zoom_basis(m, i, rdt))(idx1s)
+    f0 = jnp.where(idx0s < n // 2 + n % 2, idx0s,
+                   idx0s - n).astype(rdt) / n
+    f1 = jnp.where(idx1s < m // 2 + m % 2, idx1s,
+                   idx1s - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wr = wl.astype(rdt)
+    gxs = jnp.exp(-s2 * (f0[:, None, :] + wr[:, :, 0:1]) ** 2)
+    gys = jnp.exp(-s2 * (f1[:, None, :] + wr[:, :, 1:2]) ** 2)
+
+    kw_args = dict(dr=int(dr), precision=jax.lax.Precision.HIGHEST,
+                   interpret=True)
+    ph, wt = fused_zoom_sweep_grouped(
+        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
+        **kw_args)
+    uv_ks = tuple((2 * np.pi * float(k[0]), 2 * np.pi * float(k[1]))
+                  for k in ks)
+    ux, uy, wn = fused_zoom_sweep_grouped(
+        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
+        None, uv_ks=uv_ks, **kw_args)
+
+    K = 2 * jnp.pi * jnp.asarray(ks, rdt)
+    dbdx = wrap_to_pi(jnp.diff(ph, axis=2) + K[:, 1, None, None])
+    dbdy = wrap_to_pi(jnp.diff(ph, axis=1) + K[:, 0, None, None])
+    dudx = weighted_lstsq_stack(dbdx, K, wt[:, :, :-1])
+    dudy = weighted_lstsq_stack(dbdy, K, wt[:, :-1, :])
+    wnorm = jnp.linalg.norm(wt, axis=0)
+
+    np.testing.assert_allclose(np.asarray(wn), np.asarray(wnorm),
+                               rtol=1e-5, atol=1e-7)
+    # the lstsq quotient amplifies rounding where weights hit the rim
+    # floor; compare the gradient planes where the solve is genuinely
+    # conditioned (interior weights)
+    mx = np.asarray(wt[:, :, :-1]).min(0) > 1e-4
+    my = np.asarray(wt[:, :-1, :]).min(0) > 1e-4
+    dx_k = np.asarray(ux)[:, :, 1:]
+    dy_k = np.asarray(uy)[:, 1:, :]
+    assert np.abs((dx_k - np.asarray(dudx))[:, mx]).max() < 1e-4
+    assert np.abs((dy_k - np.asarray(dudy))[:, my]).max() < 1e-4
+    # and the rim stays finite enough for the unwrap (1e-6 floor)
+    assert np.isfinite(dx_k).all() and np.isfinite(dy_k).all()
+
+
+def test_pipeline_uv_path_matches_pw_path(monkeypatch):
+    """make_displacement_extractor with the fused uv emission
+    (pipeline_fused_uv=True, forced pallas path in interpret mode)
+    recovers the same displacement field as the phase/weight +
+    XLA-prologue route."""
+    import jax
+    import pygpa_tpu.ops.wfr as wfr_mod
+    from pygpa_tpu.config import DEFAULTS
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+
+    size = 256
+    r_k, theta = 0.1, 7.0
+    img = jnp.asarray(np.array(hexlattice_gen(
+        r_k, theta, order=1, size=size, dtype=np.float32)))
+    ks = np.array(generate_ks(r_k, theta))[:3]
+
+    monkeypatch.setattr(wfr_mod, "_use_pallas_sweep", lambda: True)
+    import pygpa_tpu.ops.pallas_sweep as ps
+    orig = ps.fused_zoom_sweep_grouped
+
+    def interp(*a, **kw_):
+        kw_["interpret"] = True
+        return orig(*a, **kw_)
+
+    monkeypatch.setattr(ps, "fused_zoom_sweep_grouped", interp)
+
+    def with_knob(val):
+        old = DEFAULTS.pipeline_fused_uv
+        object.__setattr__(DEFAULTS, "pipeline_fused_uv", val)
+        try:
+            fn = make_displacement_extractor((size, size), ks)
+            return np.asarray(fn(img))
+        finally:
+            object.__setattr__(DEFAULTS, "pipeline_fused_uv", old)
+
+    u_uv = with_knob(True)
+    u_pw = with_knob(False)
+    assert np.isfinite(u_uv).all()
+    b = 8
+    d = np.abs(u_uv - u_pw)[:, b:-b, b:-b]
+    # same winners, same weights; only f32 arithmetic order differs
+    assert d.max() < 1e-3, d.max()

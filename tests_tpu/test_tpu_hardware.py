@@ -342,3 +342,49 @@ def test_screened_sweep_onchip_accuracy():
     rw = jnp.max(jnp.abs(w1 - w0)
                  / (jnp.abs(w0) + 1e-12)).astype(jnp.float32)
     assert float(rw) < 1e-2
+
+
+def test_uv_emission_onchip_matches_prologue():
+    """The fused reconstruction-prologue emission (uv_ks path: wrapped
+    diffs + per-pixel weighted lstsq inside the sweep launch) matches
+    the XLA prologue applied to the same kernel's phase/weight planes
+    on the chip, up to the one-pixel shifted layout."""
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.ops.wfr import (wfr_sweep_phase_weight_multi,
+                                   wfr_sweep_uv_multi)
+    from pygpa_tpu.solvers.lstsq import weighted_lstsq_stack
+    from pygpa_tpu.core.mathtools import wrap_to_pi
+    size = 512
+    img = hexlattice_gen(0.1, 7.0, order=2, size=size,
+                         dtype=jnp.float32)
+    ks = np.asarray(generate_ks(0.1, 7.0))[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    kw = knorms.mean() / 2.5
+    sig = int(np.ceil(1 / knorms.min()))
+    kstep = kw / 3
+    wlists = []
+    for pk in ks:
+        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
+        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
+        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
+        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
+    dr = 2 * sig
+    img0 = img - img.mean()
+    uv = wfr_sweep_uv_multi(img0, wlists, sig, dr, ks)
+    assert uv is not None, "kernel uv path unavailable on chip"
+    ux, uy, wn = uv
+    ph, wt = wfr_sweep_phase_weight_multi(img0, wlists, sig, dr)
+    K = 2 * jnp.pi * jnp.asarray(ks, jnp.float32)
+    dbdx = wrap_to_pi(jnp.diff(ph, axis=2) + K[:, 1, None, None])
+    dbdy = wrap_to_pi(jnp.diff(ph, axis=1) + K[:, 0, None, None])
+    dudx = weighted_lstsq_stack(dbdx, K, wt[:, :, :-1])
+    dudy = weighted_lstsq_stack(dbdy, K, wt[:, :-1, :])
+    wnorm = jnp.linalg.norm(wt, axis=0)
+    assert _maxabs(wn - wnorm) < 1e-5
+    # compare where the per-pixel solve is conditioned (off-rim)
+    mx = jnp.min(wt[:, :, :-1], axis=0) > 1e-4
+    my = jnp.min(wt[:, :-1, :], axis=0) > 1e-4
+    ex = jnp.where(mx[None], ux[:, :, 1:] - dudx, 0.0)
+    ey = jnp.where(my[None], uy[:, 1:, :] - dudy, 0.0)
+    assert _maxabs(ex) < 1e-4
+    assert _maxabs(ey) < 1e-4
