@@ -396,7 +396,8 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     gxo_ref, gyo_ref, ux_ref, uy_ref, wn_ref,
                     t_ref, tx_ref, oa_ref, or_ref, oi_ref,
                     la_ref, lx_ref, ph_scr, wt_scr, cc_scr, rc_scr, *,
-                    precision, emit_dr, emit_grad, screen, uv_ks):
+                    precision, emit_dr, emit_grad, screen, uv_ks,
+                    col_groups):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
     what make_displacement_extractor consumes — plus, with emit_grad,
@@ -421,10 +422,37 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
     consumed). uv_ks holds the STATIC per-group (2*pi*k_row,
     2*pi*k_col) scalars (k-vectors are host-known at trace time;
     Mosaic cannot broadcast a (1, 1) tile to both sublanes and
-    lanes). The G phase and weight planes never touch HBM at all."""
-    G, P, W0 = gx_ref.shape
+    lanes). The G phase and weight planes never touch HBM at all.
+
+    col_groups: per-group-g STATIC tuple of (count, off) pairs —
+    candidates are ordered wy-major and each consecutive `count`-run
+    shares a recentered `band`-wide sub-window of the zoom window at
+    column offset `off` (its own Gaussian passband, the exact
+    gauss_cut truncation grade the window planning already applies at
+    the union window's edges). The spectrum windows arrive pre-sliced
+    per run ((G, H, W0, band)) and gy pre-sliced per candidate; the
+    column bases stay full-width and are lane-sliced here per run.
+    Cuts the deep pass-A/B contractions from 2*W1 to 2*band lanes —
+    the dominant MXU cost of the sweep. None = single full-width run
+    per g (H = 1, band = W1)."""
+    G, P, W0 = gx_ref.shape[0], gx_ref.shape[1], gx_ref.shape[2]
     R = a0c_ref.shape[1]
-    W1 = sr_ref.shape[2]
+    Wb = sr_ref.shape[3]          # band width (= W1 when no groups)
+    W1 = b1r_ref.shape[2] // 2    # full union-window width
+    if col_groups is None:
+        runs = tuple(((P, 0),) for _ in range(G))
+    else:
+        runs = col_groups
+
+    def band2(arr, off):
+        """[X | Y] lane-paired (rows, 2*W1) -> (rows, 2*Wb) band
+        slice (static offsets; identity when already band-width)."""
+        if arr.shape[1] == 2 * Wb and off == 0:
+            return arr
+        return jnp.concatenate([arr[:, off:off + Wb],
+                                arr[:, W1 + off:W1 + off + Wb]],
+                               axis=1)
+
     high = precision == jax.lax.Precision.HIGH
     dot = _dot_maker(precision)
 
@@ -443,56 +471,63 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             # dot (exact, where the per-candidate form rounds it into
             # the bf16 operand split). Sub-batched by _STAGE1_SB to
             # bound the concat/accumulator stack (see _STAGE1_SB).
-            # (window, destination scratch) pairs: the lock-in window
-            # and, on the grad path, the row-derivative window
-            # S2 = (2 pi i f0) * S whose second stage is dM/d(row)
-            srcs = [(jnp.concatenate([sr_ref[g], si_ref[g]], axis=1),
-                     t_ref)]
-            if emit_grad:
-                srcs.append((jnp.concatenate(
-                    [s2r_ref[g], s2i_ref[g]], axis=1), tx_ref))
-            for b0 in range(0, P, _STAGE1_SB):
-                b1 = min(b0 + _STAGE1_SB, P)
-                # ONE (2*SB*R, W0) @ (W0, 2*W1) dot per (sub-batch,
-                # source window) instead of 4 skinny (SB*R, W0) @
-                # (W0, W1) dots: same MXU FLOPs, but one bf16x3
-                # operand split and far better N-dim utilization
-                # (2*W1 lanes vs W1).
-                a0g = jnp.concatenate(
-                    [a0c * gx_ref[g, i][None, :]
-                     for i in range(b0, b1)]
-                    + [a0s * gx_ref[g, i][None, :]
-                       for i in range(b0, b1)], axis=0)  # (2*SB*R, W0)
-                half = (b1 - b0) * R
-                for (sri, dst) in srcs:
-                    both = dot(a0g, sri, _D01)       # (2*SB*R, 2*W1)
-                    W1s = sri.shape[1] // 2
-                    for i in range(b0, b1):
-                        sl = slice((i - b0) * R, (i - b0 + 1) * R)
-                        sl2 = slice(half + (i - b0) * R,
-                                    half + (i - b0 + 1) * R)
-                        cr = both[sl, :W1s]
-                        cs = both[sl, W1s:]
-                        ssr = both[sl2, :W1s]
-                        ssi = both[sl2, W1s:]
-                        gyi = gy_ref[g, i][None, :]
-                        tr = (cr - ssi) * gyi
-                        ti = (cs + ssr) * gyi
-                        s = (g * P + i) * R
-                        if high:
-                            # single [hi | lo] scratch: lanes
-                            # [0, 2*W1) hold the bf16-high halves,
-                            # [2*W1, 4*W1) the lows — pass B then
-                            # reads one contiguous (R, 4*W1) slice
-                            rhi, rlo = _split_bf16(tr)
-                            ihi, ilo = _split_bf16(ti)
-                            dst[s:s + R, :W1] = rhi
-                            dst[s:s + R, W1:2 * W1] = ihi
-                            dst[s:s + R, 2 * W1:3 * W1] = rlo
-                            dst[s:s + R, 3 * W1:] = ilo
-                        else:
-                            dst[s:s + R, :W1] = tr
-                            dst[s:s + R, W1:] = ti
+            # per run h: the run's (pre-sliced) spectrum band and its
+            # candidates [b0g, b0g+cnt); sub-batched by _STAGE1_SB
+            b0g = 0
+            for h, (cnt, _off) in enumerate(runs[g]):
+                # (window, destination scratch) pairs: the lock-in
+                # window and, on the grad path, the row-derivative
+                # window S2 = (2 pi i f0) * S (second stage dM/d(row))
+                srcs = [(jnp.concatenate([sr_ref[g, h],
+                                          si_ref[g, h]], axis=1),
+                         t_ref)]
+                if emit_grad:
+                    srcs.append((jnp.concatenate(
+                        [s2r_ref[g, h], s2i_ref[g, h]], axis=1),
+                        tx_ref))
+                for b0 in range(b0g, b0g + cnt, _STAGE1_SB):
+                    b1 = min(b0 + _STAGE1_SB, b0g + cnt)
+                    # ONE (2*SB*R, W0) @ (W0, 2*Wb) dot per
+                    # (sub-batch, source window) instead of 4 skinny
+                    # (SB*R, W0) @ (W0, Wb) dots: same MXU FLOPs, but
+                    # one bf16x3 operand split and far better N-dim
+                    # utilization (2*Wb lanes vs Wb).
+                    a0g = jnp.concatenate(
+                        [a0c * gx_ref[g, i][None, :]
+                         for i in range(b0, b1)]
+                        + [a0s * gx_ref[g, i][None, :]
+                           for i in range(b0, b1)], axis=0)
+                    half = (b1 - b0) * R
+                    for (sri, dst) in srcs:
+                        both = dot(a0g, sri, _D01)   # (2*SB*R, 2*Wb)
+                        for i in range(b0, b1):
+                            sl = slice((i - b0) * R, (i - b0 + 1) * R)
+                            sl2 = slice(half + (i - b0) * R,
+                                        half + (i - b0 + 1) * R)
+                            cr = both[sl, :Wb]
+                            cs = both[sl, Wb:]
+                            ssr = both[sl2, :Wb]
+                            ssi = both[sl2, Wb:]
+                            gyi = gy_ref[g, i][None, :]
+                            tr = (cr - ssi) * gyi
+                            ti = (cs + ssr) * gyi
+                            s = (g * P + i) * R
+                            if high:
+                                # single [hi | lo] scratch: lanes
+                                # [0, 2*Wb) hold the bf16-high
+                                # halves, [2*Wb, 4*Wb) the lows —
+                                # pass B then reads one contiguous
+                                # (R, 4*Wb) slice
+                                rhi, rlo = _split_bf16(tr)
+                                ihi, ilo = _split_bf16(ti)
+                                dst[s:s + R, :Wb] = rhi
+                                dst[s:s + R, Wb:2 * Wb] = ihi
+                                dst[s:s + R, 2 * Wb:3 * Wb] = rlo
+                                dst[s:s + R, 3 * Wb:] = ilo
+                            else:
+                                dst[s:s + R, :Wb] = tr
+                                dst[s:s + R, Wb:] = ti
+                b0g += cnt
 
     for g in range(G):
         t = t_ref[g * P * R:(g + 1) * P * R]
