@@ -139,7 +139,7 @@ def _integrate_uv(dudx, dudy, wnorm, kmax=10, unwrap_coarse=None,
 def reconstruct_u_inv_from_uv(dudx_s, dudy_s, wnorm, kmax=10,
                               unwrap_coarse=None, refine_iters=3):
     """Reconstruction from kernel-emitted SHIFTED displacement-gradient
-    planes (ops.pallas_sweep fused_zoom_sweep_grouped uv_kk path):
+    planes (ops.pallas_sweep fused_zoom_sweep_grouped uv_ks path):
     dudx_s/dudy_s are (2, n, m) with position j holding the diff
     ENDING at j — column 0 / row 0 are carry garbage and dropped here.
     Mathematically identical to reconstruct_u_inv_from_demod on the

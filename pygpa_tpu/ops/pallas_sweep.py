@@ -936,14 +936,21 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         uv_shape = wn_shape = (8, 128)
         ph_scr = wt_scr = pltpu.VMEM((8, 128), jnp.float32)
         cc_scr = rc_scr = pltpu.VMEM((8, 128), jnp.float32)
+    # spectrum windows are 4-D (G, H, W0, band): H runs of recentered
+    # column bands per group (H = 1, band = W1 when col_groups is off)
+    Srs4 = Srs[:, None]
+    Sis4 = Sis[:, None]
+    if emit_grad:
+        S2rs = S2rs[:, None]
+        S2is = S2is[:, None]
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
                 emit_dr=(int(dr), n, m), emit_grad=emit_grad,
-                screen=screen, uv_ks=uv_ks),
+                screen=screen, uv_ks=uv_ks, col_groups=None),
         grid=grid,
-        in_specs=[const((G, W0, W1)), const((G, W0, W1)),
-                  const((G, W0, W1)) if emit_grad else dummy_spec(),
-                  const((G, W0, W1)) if emit_grad else dummy_spec(),
+        in_specs=[const((G, 1, W0, W1)), const((G, 1, W0, W1)),
+                  const((G, 1, W0, W1)) if emit_grad else dummy_spec(),
+                  const((G, 1, W0, W1)) if emit_grad else dummy_spec(),
                   const((G, P, W0)), const((G, P, W1)),
                   pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
                                memory_space=pltpu.VMEM),
@@ -974,7 +981,7 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Srs, Sis, S2rs, S2is, gxs, gys, A0cs, A0ss, B1r, B1i,
+    )(Srs4, Sis4, S2rs, S2is, gxs, gys, A0cs, A0ss, B1r, B1i,
       B1yr, B1yi, B1rs, B1is)
     if emit_uv:
         return out[4], out[5], out[6]

@@ -853,7 +853,7 @@ def test_grouped_kernel_direct_windows(monkeypatch):
 
 
 def test_grouped_sweep_uv_matches_xla_prologue():
-    """The uv_kk emission (fused reconstruction prologue: wrapped
+    """The uv_ks emission (fused reconstruction prologue: wrapped
     diffs + per-pixel weighted lstsq inside the sweep launch) matches
     the XLA prologue of reconstruct_u_inv_from_demod applied to the
     same kernel's phase/weight planes, up to the shifted layout
