@@ -75,6 +75,20 @@ def main():
     resid = resid[:, b:-b, b:-b]
     resid = resid - resid.mean(axis=(1, 2), keepdims=True)
     u_err_def = float(jnp.max(jnp.abs(resid)).astype(jnp.float32))
+    # HARD accuracy ratchets (round-3 values + slack): a speed change
+    # that trades past these FAILS the bench outright instead of
+    # silently drifting (r2 0.00063 -> r3 0.00138 px went unchecked).
+    gate_interior, gate_deformed = 0.002, 0.075
+    if not (u_err < gate_interior and u_err_def < gate_deformed):
+        print(json.dumps({
+            "metric": "ACCURACY GATE FAILED",
+            "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0,
+            "u_err_interior_px": round(u_err, 5),
+            "gate_interior_px": gate_interior,
+            "u_err_deformed_px": round(u_err_def, 5),
+            "gate_deformed_px": gate_deformed,
+        }))
+        raise SystemExit(1)
     print(json.dumps({
         "metric": "full-pipeline GPA throughput (4096^2 moire, "
                   "FFT+WFR sweep+lstsq+multigrid unwrap, f32)",
@@ -84,6 +98,7 @@ def main():
         "seconds_per_image": round(dt, 4),
         "u_err_interior_px": round(u_err, 5),
         "u_err_deformed_px": round(u_err_def, 5),
+        "gated": f"interior<{gate_interior}, deformed<{gate_deformed}",
         "device": str(jax.devices()[0]),
     }))
 

@@ -350,6 +350,16 @@ _ATAN_C = (0.9999999842426367, -0.33333066780692006,
            0.0028340642985320618)
 
 
+_TWO_PI = 6.283185307179586
+_PI = 3.14159265358979
+
+
+def _wrap_pi(x):
+    # (x + pi) % (2*pi) - pi, floor-mod like jnp.mod for y > 0
+    t = x + _PI
+    return t - _TWO_PI * jnp.floor(t / _TWO_PI) - _PI
+
+
 def _atan2(y, x):
     ay = jnp.abs(y)
     ax = jnp.abs(x)
@@ -395,7 +405,8 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     b1rs_ref, b1is_ref, ph_ref, w_ref,
                     gxo_ref, gyo_ref, ux_ref, uy_ref, wn_ref,
                     t_ref, tx_ref, oa_ref, or_ref, oi_ref,
-                    la_ref, lx_ref, ph_scr, wt_scr, cc_scr, rc_scr, *,
+                    la_ref, lx_ref, ro_ref, ph_scr, wt_scr, cc_scr,
+                    rc_scr, *,
                     precision, emit_dr, emit_grad, screen, uv_ks,
                     col_groups):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
@@ -426,32 +437,32 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
 
     col_groups: per-group-g STATIC tuple of (count, off) pairs —
     candidates are ordered wy-major and each consecutive `count`-run
-    shares a recentered `band`-wide sub-window of the zoom window at
-    column offset `off` (its own Gaussian passband, the exact
-    gauss_cut truncation grade the window planning already applies at
-    the union window's edges). The spectrum windows arrive pre-sliced
-    per run ((G, H, W0, band)) and gy pre-sliced per candidate; the
-    column bases stay full-width and are lane-sliced here per run.
-    Cuts the deep pass-A/B contractions from 2*W1 to 2*band lanes —
-    the dominant MXU cost of the sweep. None = single full-width run
-    per g (H = 1, band = W1)."""
+    shares a recentered Wb-wide sub-window of the zoom window at
+    column offset `off` (its own Gaussian passband, the same
+    gauss_cut truncation grade the window planning applies at the
+    union window's edges). The spectrum windows arrive pre-sliced per
+    run ((G, H, W0, Wb)), gy pre-sliced per candidate, and the column
+    bases pre-sliced to the BASE band [0, Wb). Because the window's
+    column indices are consecutive mod m, a run's true basis is the
+    base-band basis times the rank-1 column ramp e^{2 pi i c off/m}:
+    |M|^2 is ramp-invariant so passes A/B need no run awareness at
+    all — only the winner EMISSIONS correct for the ramp, via the
+    per-pixel winner offset tracked in ro_ref (phase += 2 pi off c/m
+    wrapped; column gradient -= 2 pi off/m; both exact). Cuts the
+    deep pass-A/B contractions AND the column-basis DMA from 2*W1 to
+    2*Wb lanes — the dominant MXU cost of the sweep. None = single
+    full-width run per g (H = 1, Wb = W1)."""
     G, P, W0 = gx_ref.shape[0], gx_ref.shape[1], gx_ref.shape[2]
     R = a0c_ref.shape[1]
-    Wb = sr_ref.shape[3]          # band width (= W1 when no groups)
-    W1 = b1r_ref.shape[2] // 2    # full union-window width
-    if col_groups is None:
-        runs = tuple(((P, 0),) for _ in range(G))
-    else:
+    Wb = sr_ref.shape[3]          # band width (= W1 when unbanded)
+    banded = col_groups is not None
+    if banded:
         runs = col_groups
-
-    def band2(arr, off):
-        """[X | Y] lane-paired (rows, 2*W1) -> (rows, 2*Wb) band
-        slice (static offsets; identity when already band-width)."""
-        if arr.shape[1] == 2 * Wb and off == 0:
-            return arr
-        return jnp.concatenate([arr[:, off:off + Wb],
-                                arr[:, W1 + off:W1 + off + Wb]],
-                               axis=1)
+        # static per-candidate band offsets (floats for the ramp)
+        offs = [tuple(float(off) for cnt, off in rg
+                      for _ in range(cnt)) for rg in runs]
+    else:
+        runs = tuple(((P, 0),) for _ in range(G))
 
     high = precision == jax.lax.Precision.HIGH
     dot = _dot_maker(precision)
@@ -541,13 +552,13 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     a, b, _D11, precision=jax.lax.Precision.DEFAULT,
                     preferred_element_type=jnp.float32)
 
-            thi = t[:, :2 * W1]
+            thi = t[:, :2 * Wb]
             b1r_hi, b1r_lo = _split_bf16(b1r_ref[g])
             b1i_hi, b1i_lo = _split_bf16(b1i_ref[g])
             bcat_r = jnp.concatenate([b1r_lo, b1r_hi], axis=1)
             bcat_i = jnp.concatenate([b1i_lo, b1i_hi], axis=1)
             if emit_grad:
-                txhi = tx[:, :2 * W1]
+                txhi = tx[:, :2 * Wb]
                 b1yr_hi, b1yr_lo = _split_bf16(b1yr_ref[g])
                 b1yi_hi, b1yi_lo = _split_bf16(b1yi_ref[g])
                 bcat_yr = jnp.concatenate([b1yr_lo, b1yr_hi], axis=1)
@@ -627,6 +638,9 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                                               oa_ref[:])
                         or_ref[:] = jnp.where(sel, mr, or_ref[:])
                         oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                        if banded:
+                            ro_ref[:] = jnp.where(sel, offs[g][i],
+                                                  ro_ref[:])
                         if emit_grad:
                             _grad_writes(i, sel, mr, mi)
             else:
@@ -661,6 +675,9 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                                               oa_ref[:])
                         or_ref[:] = jnp.where(sel, mr, or_ref[:])
                         oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                        if banded:
+                            ro_ref[:] = jnp.where(sel, offs[g][i],
+                                                  ro_ref[:])
                         if emit_grad:
                             _grad_writes(i, sel, mr, mi)
             oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
@@ -671,6 +688,8 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             om_r = mall_r[:R]
             om_i = mall_i[:R]
             lx = jnp.zeros(oa.shape, jnp.int32)
+            if banded:
+                ro_val = jnp.full(oa.shape, offs[g][0], jnp.float32)
             for i in range(1, P):
                 mr = mall_r[i * R:(i + 1) * R]
                 mi = mall_i[i * R:(i + 1) * R]
@@ -679,6 +698,8 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                 oa = jnp.where(sel, absq, oa)
                 om_r = jnp.where(sel, mr, om_r)
                 om_i = jnp.where(sel, mi, om_i)
+                if banded:
+                    ro_val = jnp.where(sel, offs[g][i], ro_val)
                 lx = jnp.where(sel, i, lx)
             if emit_grad:
                 # winner analytic gradients at full (HIGHEST/DEFAULT)
@@ -709,6 +730,17 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         pht = _atan2(om_i, om_r)
         ii = jax.lax.broadcasted_iota(jnp.int32, (R_, Cc), 0) + r0
         jj = jax.lax.broadcasted_iota(jnp.int32, (R_, Cc), 1) + c0
+        if banded:
+            # undo the base-band demodulation: the winner's true
+            # lock-in is its base-band value times the column ramp
+            # e^{2 pi i c off/m}; off*c < 2^24 is f32-exact, so the
+            # modular reduction (and hence the phase) is exact
+            ro = ro_ref[:] if high else ro_val
+            rr = ro * jj.astype(jnp.float32)
+            rr = rr - m * jnp.floor(rr * (1.0 / m))
+            pht = _wrap_pi(pht + rr * (_TWO_PI / m))
+            if emit_grad:
+                gyo_ref[g] = gyo_ref[g] - ro * (_TWO_PI / m)
         interior = ((ii >= dr) & (ii < n - dr)
                     & (jj >= dr) & (jj < m - dr))
         mask = jnp.where(interior, 1.0 + 1e-6, 1e-6).astype(
@@ -731,14 +763,7 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
     # and carry discipline)
     R_, Cc = oa_ref.shape
     c0 = pl.program_id(1) * Cc
-    two_pi = 6.283185307179586
-    pi = 3.14159265358979
-
-    def wrap(x):
-        # (x + pi) % (2*pi) - pi, floor-mod like jnp.mod for y > 0
-        t = x + pi
-        return t - two_pi * jnp.floor(t / two_pi) - pi
-
+    wrap = _wrap_pi
     G_ = G
     zero = jnp.zeros((R_, Cc), jnp.float32)
     a00x = a01x = a11x = r0x = r1x = zero
@@ -784,8 +809,12 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         cc_scr[slw, :] = wt[:, Cc - 128:]
         rc_scr[pl.ds(g * 8, 8), pl.ds(c0, Cc)] = pht[R_ - 8:, :]
         rc_scr[pl.ds((G_ + g) * 8, 8), pl.ds(c0, Cc)] = wt[R_ - 8:, :]
-    detx = a00x * a11x - a01x * a01x
-    dety = a00y * a11y - a01y * a01y
+    # Gram determinant >= 0; clamp away the f32 underflow at
+    # low-amplitude pixels (rim weights ~1e-6 enter squared twice:
+    # wwx^2 ~ absq^2 * 1e-24 can underflow det to exactly 0 -> inf).
+    # Clamped pixels get ~0/1e-30 = 0, and carry ~0 weight downstream.
+    detx = jnp.maximum(a00x * a11x - a01x * a01x, 1e-30)
+    dety = jnp.maximum(a00y * a11y - a01y * a01y, 1e-30)
     ux_ref[0] = (a11x * r0x - a01x * r1x) / detx
     ux_ref[1] = (a00x * r1x - a01x * r0x) / detx
     uy_ref[0] = (a11y * r0y - a01y * r1y) / dety
@@ -811,12 +840,12 @@ _SCREEN_EPS = 0.1
 
 @partial(jax.jit,
          static_argnames=("rows", "cols", "precision", "interpret",
-                          "dr", "screen", "uv_ks"))
+                          "dr", "screen", "uv_ks", "col_groups"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                              A1ss, grad_ops=None, uv_ks=None, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
                              rows=None, cols=None, interpret=False,
-                             screen=None):
+                             screen=None, col_groups=None):
     """Multi-peak emit-only sweep driver: G peaks, each with its own
     (W0, W1) spectrum window, candidate bank and DFT bases, in one
     pallas launch. Returns (phase (G, n, m), weight (G, n, m)) — the
@@ -837,7 +866,20 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     switch the emission to the fused RECONSTRUCTION PROLOGUE: returns
     (dudx_s (2, n, m), dudy_s (2, n, m), wnorm (n, m)) with the diff
     planes SHIFTED one pixel (see _grouped_kernel); the phase/weight
-    planes are never written. Mutually exclusive with grad_ops."""
+    planes are never written. Mutually exclusive with grad_ops.
+
+    col_groups: STATIC (Wb, runs) BANDED-sweep plan
+    (ops.wfr._plan_col_groups): runs[g] is a tuple of (count, off)
+    pairs partitioning group g's (wy-sorted) candidates into runs
+    that share a Wb-wide column sub-band of the zoom window at offset
+    off. The spectrum windows and per-candidate Gaussian column
+    factors are band-sliced here; the column DFT bases shrink to the
+    BASE band [0, Wb) — a run's true basis is the base band times the
+    rank-1 column phase ramp e^{2 pi i c off/m}, which |M|^2 never
+    sees, so only winner phase / column-gradient emissions carry the
+    per-run ramp correction (see _grouped_kernel). Cuts the deep
+    pass-A/B contractions from 2*W1 to 2*Wb lanes AND the column-basis
+    DMA by the same ratio."""
     G, P, W0 = gxs.shape
     W1 = Srs.shape[2]
     n = A0cs.shape[1]
@@ -866,7 +908,43 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         screen = _SCREEN
     if not high or cols % max(screen, 1) or P < 8:
         screen = 0
-    B1r = jnp.concatenate([A1cs, -A1ss], axis=2)   # (G, m, 2*W1)
+    if col_groups is not None:
+        Wb, runs = col_groups
+        Wb = int(Wb)
+        if sum(c for c, _ in runs[0]) != P or len(runs) != G:
+            raise ValueError("col_groups runs do not partition the "
+                             "candidate banks")
+        H = len(runs[0])
+        # band-slice the spectrum windows per run and the Gaussian
+        # column factors per candidate; the column bases shrink to
+        # the base band (static slices — tiny arrays)
+        Srs4 = jnp.stack([jnp.stack(
+            [Srs[g, :, off:off + Wb] for _, off in runs[g]])
+            for g in range(G)])
+        Sis4 = jnp.stack([jnp.stack(
+            [Sis[g, :, off:off + Wb] for _, off in runs[g]])
+            for g in range(G)])
+
+        def _band_gy(gy):
+            outs = []
+            for g in range(G):
+                b0, parts = 0, []
+                for cnt, off in runs[g]:
+                    parts.append(gy[g, b0:b0 + cnt, off:off + Wb])
+                    b0 += cnt
+                outs.append(jnp.concatenate(parts, axis=0))
+            return jnp.stack(outs)
+
+        gys = _band_gy(gys)
+        A1cs = A1cs[:, :, :Wb]
+        A1ss = A1ss[:, :, :Wb]
+        kernel_groups = tuple(runs)
+    else:
+        Wb, H = W1, 1
+        Srs4 = Srs[:, None]
+        Sis4 = Sis[:, None]
+        kernel_groups = None
+    B1r = jnp.concatenate([A1cs, -A1ss], axis=2)   # (G, m, 2*Wb)
     B1i = jnp.concatenate([A1ss, A1cs], axis=2)
 
     def const(shape):
@@ -878,15 +956,27 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                             memory_space=pltpu.VMEM)
 
     dummy = jnp.zeros((8, 128), Srs.dtype)
-    colspec = pl.BlockSpec((G, cols, 2 * W1), lambda r, c: (0, c, 0),
+    colspec = pl.BlockSpec((G, cols, 2 * Wb), lambda r, c: (0, c, 0),
                            memory_space=pltpu.VMEM)
     if emit_grad:
         S2rs, S2is, A1ycs, A1yss = grad_ops
+        if col_groups is not None:
+            S2rs = jnp.stack([jnp.stack(
+                [S2rs[g, :, off:off + Wb] for _, off in runs[g]])
+                for g in range(G)])
+            S2is = jnp.stack([jnp.stack(
+                [S2is[g, :, off:off + Wb] for _, off in runs[g]])
+                for g in range(G)])
+            A1ycs = A1ycs[:, :, :Wb]
+            A1yss = A1yss[:, :, :Wb]
+        else:
+            S2rs = S2rs[:, None]
+            S2is = S2is[:, None]
         B1yr = jnp.concatenate([A1ycs, -A1yss], axis=2)
         B1yi = jnp.concatenate([A1yss, A1ycs], axis=2)
-        tx_scr = (pltpu.VMEM((G * P * rows, 4 * W1), jnp.bfloat16)
+        tx_scr = (pltpu.VMEM((G * P * rows, 4 * Wb), jnp.bfloat16)
                   if high else
-                  pltpu.VMEM((G * P * rows, 2 * W1), jnp.float32))
+                  pltpu.VMEM((G * P * rows, 2 * Wb), jnp.float32))
     else:
         S2rs = S2is = B1yr = B1yi = dummy
         tx_scr = pltpu.VMEM((8, 128), jnp.bfloat16)
@@ -894,9 +984,9 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     if screen:
         # every screen-th column of the basis (reshape+slice, not a
         # strided slice, which relayouts poorly on TPU)
-        B1rs = B1r.reshape(G, m // screen, screen, 2 * W1)[:, :, 0]
-        B1is = B1i.reshape(G, m // screen, screen, 2 * W1)[:, :, 0]
-        sspec = pl.BlockSpec((G, cols // screen, 2 * W1),
+        B1rs = B1r.reshape(G, m // screen, screen, 2 * Wb)[:, :, 0]
+        B1is = B1i.reshape(G, m // screen, screen, 2 * Wb)[:, :, 0]
+        sspec = pl.BlockSpec((G, cols // screen, 2 * Wb),
                              lambda r, c: (0, c, 0),
                              memory_space=pltpu.VMEM)
         la_scr = pltpu.VMEM((rows, cols), jnp.float32)
@@ -936,22 +1026,20 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         uv_shape = wn_shape = (8, 128)
         ph_scr = wt_scr = pltpu.VMEM((8, 128), jnp.float32)
         cc_scr = rc_scr = pltpu.VMEM((8, 128), jnp.float32)
-    # spectrum windows are 4-D (G, H, W0, band): H runs of recentered
-    # column bands per group (H = 1, band = W1 when col_groups is off)
-    Srs4 = Srs[:, None]
-    Sis4 = Sis[:, None]
-    if emit_grad:
-        S2rs = S2rs[:, None]
-        S2is = S2is[:, None]
+    # per-pixel winner band offset (the phase-ramp correction of the
+    # banded path); dummy when unbanded
+    ro_scr = (pltpu.VMEM((rows, cols), jnp.float32)
+              if col_groups is not None
+              else pltpu.VMEM((8, 128), jnp.float32))
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
                 emit_dr=(int(dr), n, m), emit_grad=emit_grad,
-                screen=screen, uv_ks=uv_ks, col_groups=None),
+                screen=screen, uv_ks=uv_ks, col_groups=kernel_groups),
         grid=grid,
-        in_specs=[const((G, 1, W0, W1)), const((G, 1, W0, W1)),
-                  const((G, 1, W0, W1)) if emit_grad else dummy_spec(),
-                  const((G, 1, W0, W1)) if emit_grad else dummy_spec(),
-                  const((G, P, W0)), const((G, P, W1)),
+        in_specs=[const((G, H, W0, Wb)), const((G, H, W0, Wb)),
+                  const((G, H, W0, Wb)) if emit_grad else dummy_spec(),
+                  const((G, H, W0, Wb)) if emit_grad else dummy_spec(),
+                  const((G, P, W0)), const((G, P, Wb)),
                   pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, rows, W0), lambda r, c: (0, r, 0),
@@ -970,14 +1058,14 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                    jax.ShapeDtypeStruct(uv_shape, Srs.dtype),
                    jax.ShapeDtypeStruct(wn_shape, Srs.dtype)),
         scratch_shapes=[
-            pltpu.VMEM((G * P * rows, 4 * W1), jnp.bfloat16)
+            pltpu.VMEM((G * P * rows, 4 * Wb), jnp.bfloat16)
             if high else
-            pltpu.VMEM((G * P * rows, 2 * W1), jnp.float32),
+            pltpu.VMEM((G * P * rows, 2 * Wb), jnp.float32),
             tx_scr,
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
-            la_scr, lx_scr, ph_scr, wt_scr, cc_scr, rc_scr],
+            la_scr, lx_scr, ro_scr, ph_scr, wt_scr, cc_scr, rc_scr],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

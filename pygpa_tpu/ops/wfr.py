@@ -333,6 +333,94 @@ def _plan_zoom_multi(shape, wlists, sigma, gauss_cut=None):
     return plans
 
 
+# Banded (window-recentered) grouped sweeps: each wy-run of candidates
+# contracts against a Wb-wide sub-band of the zoom window instead of
+# the full W1 lanes — the dominant pass-A/B MXU saving. Module flag
+# for on-chip A/B; the planner below still decides per call whether a
+# band is worthwhile.
+_COL_GROUPS = True
+
+
+def _plan_col_groups(wlists, plans, m, sigma, *, pad_bins=6,
+                     gauss_cut=None, lane=64):
+    """Plan the BANDED grouped sweep: candidates whose wy passbands fit
+    a shared Wb-wide column sub-band of the union zoom window are
+    grouped into runs; stage 1 then contracts each run against its
+    own recentered (W0, Wb) spectrum band and passes A/B against a
+    single base-band DFT basis of 2*Wb lanes (the run offset enters as
+    a rank-1 column phase ramp e^{2 pi i c off/m} — |M|^2 is
+    ramp-invariant, so only winner phases/column-gradients carry a
+    per-run correction; see pallas_sweep._grouped_kernel).
+
+    Returns (orders, col_groups, Wb) — per-group candidate
+    permutations (wy-sorted so runs are consecutive), the per-group
+    static ((count, off), ...) run tuples (equal run counts across
+    groups), and the band width — or None when banding is not
+    worthwhile (band ~ union width) or unsafe (window crosses the
+    Nyquist index, which breaks the gradient ramp's linearity)."""
+    if gauss_cut is None:
+        gauss_cut = _GAUSS_CUT
+    W1 = plans[0][1].shape[0]
+    need1 = np.sqrt(gauss_cut / 2.0) / (np.pi * sigma) * m + pad_bins
+    Wb = int(-(-int(np.ceil(2 * need1)) // lane) * lane)
+    if Wb > W1 - lane:
+        return None
+
+    def _off_range(lo, hi):
+        """Valid integer band offsets covering [lo, hi] (or empty)."""
+        return (max(0, int(np.ceil(hi - Wb))),
+                min(W1 - Wb, int(np.floor(lo))))
+
+    orders, groups = [], []
+    for w, plan in zip(wlists, plans):
+        idx1 = np.asarray(plan[1])
+        # banding reuses one base-band basis shifted by a phase ramp;
+        # the column-gradient correction additionally needs f1 linear
+        # across the window, which breaks at the Nyquist index
+        if (m // 2 - int(idx1[0])) % m < W1:
+            return None
+        w = np.asarray(w, np.float64)
+        # window position of each candidate's passband center
+        pf = (-w[:, 1] * m - float(idx1[0])) % m
+        if np.any(pf >= W1):
+            return None
+        order = np.argsort(pf, kind="stable")
+        runs = []
+        i = 0
+        while i < len(order):
+            lo = pf[order[i]] - need1
+            hi = pf[order[i]] + need1
+            j = i
+            while j + 1 < len(order):
+                nhi = pf[order[j + 1]] + need1
+                o_lo, o_hi = _off_range(lo, nhi)
+                if o_lo > o_hi:
+                    break
+                hi = nhi
+                j += 1
+            o_lo, o_hi = _off_range(lo, hi)
+            if o_lo > o_hi:
+                return None
+            runs.append([j - i + 1, o_lo])
+            i = j + 1
+        orders.append(order)
+        groups.append(runs)
+    # the stacked (G, H, W0, Wb) window layout needs equal run counts:
+    # split the largest runs of shorter groups (same off, exact)
+    H = max(len(r) for r in groups)
+    for runs in groups:
+        while len(runs) < H:
+            k = int(np.argmax([c for c, _ in runs]))
+            if runs[k][0] < 2:
+                return None
+            c, off = runs[k]
+            runs[k] = [c - c // 2, off]
+            runs.insert(k + 1, [c // 2, off])
+    col_groups = tuple(tuple((int(c), int(o)) for c, o in runs)
+                       for runs in groups)
+    return [np.asarray(o) for o in orders], col_groups, Wb
+
+
 def _zoom_basis(n, idx, dtype):
     """cos/sin of the inverse-DFT submatrix e^{2 pi i r idx / n} (n, W),
     computed in-graph with integer mod so large arguments stay exact."""
@@ -380,9 +468,10 @@ def _use_pallas_sweep():
     return _PALLAS_SWEEP and jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk"))
+@partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk",
+                                   "interpret", "screen"))
 def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
-                    chunk):
+                    chunk, interpret=False, screen=None):
     """Band-limited sweep: crop the spectrum to the (W0, W1) window all
     candidate bandpasses live in, then per candidate compute the
     full-resolution demodulated lock-in M_w as two real-decomposed
@@ -411,7 +500,8 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
     s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
     hi = _ZOOM_PRECISION
 
-    use_fused = (_use_pallas_sweep() and rdt == jnp.float32
+    use_fused = ((_use_pallas_sweep() or interpret)
+                 and rdt == jnp.float32
                  and n % 128 == 0 and m % 128 == 0)
     if use_fused:
         from .pallas_sweep import fused_zoom_sweep
@@ -437,7 +527,7 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
                 A1c * tpf1[None, :]))
         out = fused_zoom_sweep(
             Sr * scale, Si * scale, gx, gy, A0c, A0s, A1c, A1s,
-            precision=hi, **gkw)
+            precision=hi, interpret=interpret, screen=screen, **gkw)
         best_absq, best_r, best_i, best_idx = out[:4]
         best_grad = (jnp.stack([out[4], out[5]], axis=-1) if with_grad
                      else jnp.zeros((0,), rdt))
@@ -488,8 +578,9 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
             best_grad)
 
 
-@partial(jax.jit, static_argnames=("sigma", "dr", "chunk"))
-def _wfr_sweep_zoom_pw(spectrum, wlist, idx0, idx1, sigma, dr, chunk):
+@partial(jax.jit, static_argnames=("sigma", "dr", "chunk", "interpret"))
+def _wfr_sweep_zoom_pw(spectrum, wlist, idx0, idx1, sigma, dr, chunk,
+                       interpret=False):
     """Fused zoom sweep emitting the winner PHASE and rim-masked
     WEIGHT directly from the kernel (pipeline hot path: skips the
     angle/sqrt/mask XLA passes and never materializes the complex
@@ -510,12 +601,13 @@ def _wfr_sweep_zoom_pw(spectrum, wlist, idx0, idx1, sigma, dr, chunk):
     out = fused_zoom_sweep(S.real * scale, S.imag * scale, gx, gy,
                            A0c, A0s, A1c, A1s,
                            precision=_ZOOM_PRECISION,
-                           emit_dr=(int(dr),))
+                           emit_dr=(int(dr),), interpret=interpret)
     return out[4], out[5]          # phase, weight
 
 
 def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
-                           spectrum=None, chunk=8, gauss_cut=None):
+                           spectrum=None, chunk=8, gauss_cut=None,
+                           interpret=False):
     """Demodulated winner phase + interior-masked weight of a WFR
     sweep — the exact inputs reconstruct_u_inv_from_demod consumes
     (weight = sqrt(absq) * (interior mask + 1e-6), the rim mask of
@@ -540,14 +632,15 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
     if not isinstance(wlist, jax.core.Tracer):
         plan = _plan_zoom(shape, np.asarray(wlist), float(sigma),
                           gauss_cut=gauss_cut)
-    if (plan is not None and _use_pallas_sweep()
+    if (plan is not None and (_use_pallas_sweep() or interpret)
             and jnp.zeros((), spectrum.real.dtype).dtype == jnp.float32
             and shape[0] % 128 == 0 and shape[1] % 128 == 0
             and np.asarray(wlist).shape[0] <= 48):
         return _wfr_sweep_zoom_pw(spectrum, jnp.asarray(wlist),
                                   jnp.asarray(plan[0]),
                                   jnp.asarray(plan[1]), float(sigma),
-                                  int(dr), int(chunk))
+                                  int(dr), int(chunk),
+                                  interpret=interpret)
     g = wfr_sweep(image, wlist, kref, sigma, with_w=False,
                   rebase=False, return_absq=True, spectrum=spectrum,
                   chunk=chunk)
@@ -559,10 +652,12 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
 
 @partial(jax.jit,
          static_argnames=("sigma", "dr", "screen", "with_grad",
-                          "direct", "uv_ks"))
+                          "direct", "uv_ks", "interpret",
+                          "col_groups"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
                                screen=None, with_grad=False,
-                               direct=False, uv_ks=None):
+                               direct=False, uv_ks=None,
+                               interpret=False, col_groups=None):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
     kernel): per group its own spectrum window, Gaussian factors and
     DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1).
@@ -621,11 +716,13 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
     return fused_zoom_sweep_grouped(
         Sr, Si, gxs, gys, A0c, A0s, A1c, A1s,
         grad_ops, uv_ks=uv_tp, dr=int(dr),
-        precision=_ZOOM_PRECISION, screen=screen)
+        precision=_ZOOM_PRECISION, screen=screen,
+        interpret=interpret, col_groups=col_groups)
 
 
 def wfr_sweep_uv_multi(image, wlists, sigma, dr, krefs, *,
-                       spectrum=None, screen=None, gauss_cut=None):
+                       spectrum=None, screen=None, gauss_cut=None,
+                       interpret=False):
     """Fused sweep + reconstruction prologue for ALL Bragg peaks in
     one kernel launch: returns (dudx_s (2, N, M), dudy_s (2, N, M),
     wnorm (N, M)) — the SHIFTED per-pixel weighted-lstsq displacement
@@ -636,13 +733,15 @@ def wfr_sweep_uv_multi(image, wlists, sigma, dr, krefs, *,
     wfr_sweep_phase_weight_multi + reconstruct_u_inv_from_demod)."""
     return wfr_sweep_phase_weight_multi(
         image, wlists, sigma, dr, spectrum=spectrum, screen=screen,
-        gauss_cut=gauss_cut, krefs=krefs, _uv=True)
+        gauss_cut=gauss_cut, krefs=krefs, _uv=True,
+        interpret=interpret)
 
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                                  spectrum=None, screen=None, chunk=8,
                                  with_grad=False, krefs=None,
-                                 gauss_cut=None, _uv=False):
+                                 gauss_cut=None, _uv=False,
+                                 interpret=False):
     """Demodulated winner phases + rim-masked weights for ALL Bragg
     peaks of a pipeline sweep. On the fused TPU path the G sweeps run
     as ONE grouped kernel launch (no per-peak launch overhead; group
@@ -681,7 +780,7 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                                  gauss_cut=gauss_cut)
     use_grouped = (
         plans is not None and all(p is not None for p in plans)
-        and _use_pallas_sweep()
+        and (_use_pallas_sweep() or interpret)
         and rdt == jnp.float32
         and shape[0] % 128 == 0 and shape[1] % 128 == 0
         and len({(p[0].shape[0], p[1].shape[0]) for p in plans}) == 1
@@ -691,7 +790,20 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
     if not use_grouped and _uv:
         return None
     if use_grouped:
-        wl = jnp.asarray(np.stack([np.asarray(w) for w in wlists]))
+        wls = [np.asarray(w) for w in wlists]
+        col_groups = None
+        if _COL_GROUPS:
+            cg = _plan_col_groups(wls, plans, shape[1], float(sigma),
+                                  gauss_cut=gauss_cut)
+            if cg is not None:
+                orders, groups, Wb = cg
+                # wy-sort each bank so band runs are consecutive; the
+                # kernel emits no candidate indices, so order only
+                # affects strict-inequality tie winners (same class as
+                # the bf16 pass-A near-ties, accuracy-gated)
+                wls = [w[o] for w, o in zip(wls, orders)]
+                col_groups = (int(Wb), groups)
+        wl = jnp.asarray(np.stack(wls))
         idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
         idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
         direct = spectrum is None
@@ -705,7 +817,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
         out = _wfr_sweep_zoom_pw_grouped(
             image if direct else spectrum, wl, idx0s, idx1s,
             float(sigma), int(dr), screen=screen,
-            with_grad=with_grad, direct=direct, uv_ks=uv_tp)
+            with_grad=with_grad, direct=direct, uv_ks=uv_tp,
+            interpret=interpret, col_groups=col_groups)
         if _uv or not with_grad:
             return out
         ph, wt, ggx, ggy = out
@@ -745,7 +858,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
 
 def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
               continuity_dk=None, chunk=8, spectrum=None, zoom="auto",
-              rebase=True, return_absq=False):
+              rebase=True, return_absq=False, interpret=False,
+              screen=None):
     """Run a WFR sweep over candidate vectors `wlist` rebased to `kref`.
 
     Parameters
@@ -834,7 +948,8 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
             best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_zoom(
                 spectrum, jnp.asarray(wlist), jnp.asarray(plan[0]),
                 jnp.asarray(plan[1]), float(sigma), with_grad,
-                int(min(chunk, wlist.shape[0])))
+                int(min(chunk, wlist.shape[0])), interpret=interpret,
+                screen=screen)
         else:
             best_absq, best_lockin, best_idx, best_grad = \
                 _wfr_sweep_chunked(

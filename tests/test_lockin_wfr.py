@@ -986,3 +986,88 @@ def test_pipeline_uv_path_matches_pw_path(monkeypatch):
     d = np.abs(u_uv - u_pw)[:, b:-b, b:-b]
     # same winners, same weights; only f32 arithmetic order differs
     assert d.max() < 1e-3, d.max()
+
+
+def test_banded_sweep_matches_unbanded(monkeypatch):
+    """The BANDED grouped sweep (col_groups: per-run recentered column
+    sub-windows + base-band bases, winner emissions ramp-corrected;
+    ops/wfr._plan_col_groups) matches the unbanded kernel on all three
+    emission paths (plain phase/weight, fused uv prologue, gradients)
+    to truncation accuracy, the surviving max diffs being amplitude-
+    equivalent near-tie winner flips (weights equal at flipped
+    pixels). Fixture chosen so the planner actually activates
+    (Wb=128 < W1=192)."""
+    import pygpa_tpu.ops.wfr as wfr_mod
+    from pygpa_tpu.ops.wfr import (wfr_sweep_phase_weight_multi,
+                                   wfr_sweep_uv_multi)
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+
+    size, r_k, theta, gc = 512, 0.12, 5.0, 10.0
+    img = np.asarray(hexlattice_gen(r_k, theta, order=1, size=size,
+                                    dtype=np.float32))
+    img = jnp.asarray(img - img.mean())
+    ks = np.asarray(generate_ks(r_k, theta), np.float64)[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    kw = knorms.mean() / 2.5
+    pts = 4
+    offs = (np.arange(pts) - (pts - 1) / 2) * (2 * kw / pts)
+    wx, wy = np.meshgrid(offs, offs, indexing="ij")
+    grid = np.stack([wx.ravel(), wy.ravel()], -1)
+    wlists = [np.asarray(k)[None] + grid for k in ks]
+    sigma = int(np.ceil(1 / knorms.min()))
+    dr = 2
+
+    plans = wfr_mod._plan_zoom_multi(img.shape, wlists, float(sigma),
+                                     gauss_cut=gc)
+    cg = wfr_mod._plan_col_groups(wlists, plans, size, float(sigma),
+                                  gauss_cut=gc)
+    assert cg is not None and cg[2] < plans[0][1].shape[0], \
+        "fixture no longer activates banding"
+
+    outs = {}
+    for banded in (False, True):
+        monkeypatch.setattr(wfr_mod, "_COL_GROUPS", banded)
+        ph, wt = wfr_sweep_phase_weight_multi(
+            img, wlists, sigma, dr, gauss_cut=gc, interpret=True)
+        uv = wfr_sweep_uv_multi(img, wlists, sigma, dr, ks,
+                                gauss_cut=gc, interpret=True)
+        gr = wfr_sweep_phase_weight_multi(
+            img, wlists, sigma, dr, gauss_cut=gc, with_grad=True,
+            krefs=ks, interpret=True)
+        outs[banded] = (np.asarray(ph), np.asarray(wt),
+                        [np.asarray(a) for a in uv],
+                        [np.asarray(a) for a in gr])
+    ph0, wt0, uv0, gr0 = outs[False]
+    ph1, wt1, uv1, gr1 = outs[True]
+
+    # phases agree to band-truncation accuracy except at winner flips
+    dph = np.abs(np.angle(np.exp(1j * (ph1 - ph0))))
+    flip = dph > 1e-4
+    assert np.percentile(dph, 99) < 5e-5
+    # at HIGH the bf16 pass-A splits differ between band and full
+    # window, so near-tie winner flips are more common than at
+    # HIGHEST — the weight agreement below is the semantic guard
+    assert flip.mean() < 1e-2
+    # weights: truncation-tight in bulk; the tail (winner flips,
+    # including sub-phase-threshold ones) stays within the bf16
+    # pass-A near-tie margin, i.e. flips only ever trade amplitude-
+    # equivalent candidates
+    rel = np.abs(wt1 - wt0) / (np.abs(wt0) + 1e-9)
+    assert np.percentile(rel, 99) < 5e-5
+    assert rel.max() < 2e-2
+    # uv prologue (drop the shifted-layout carry column/row); the
+    # lstsq quotient amplifies near-tie flips, so the p99 bound is
+    # looser than the phase one (measured 2.4e-4 at this fixture)
+    assert np.percentile(np.abs(uv1[0][:, :, 1:] - uv0[0][:, :, 1:]),
+                         99) < 1e-3
+    assert np.percentile(np.abs(uv1[1][:, 1:, :] - uv0[1][:, 1:, :]),
+                         99) < 1e-3
+    dwn = (np.abs(uv1[2] - uv0[2]) / (np.abs(uv0[2]) + 1e-9)).max()
+    assert dwn < 5e-3, dwn
+    # gradient path: ramp correction on the column derivative is
+    # exact — off winner-flip pixels only truncation remains
+    g0, g1 = gr0[2], gr1[2]
+    dg = np.abs(g1 - g0)
+    ok = ~np.broadcast_to(flip[..., None], dg.shape)
+    assert dg[ok].max() < 2e-3
+    assert np.percentile(dg, 99) < 5e-5
