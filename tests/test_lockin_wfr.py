@@ -1071,3 +1071,87 @@ def test_banded_sweep_matches_unbanded(monkeypatch):
     ok = ~np.broadcast_to(flip[..., None], dg.shape)
     assert dg[ok].max() < 2e-3
     assert np.percentile(dg, 99) < 5e-5
+
+
+def test_sweep_over_48_candidates_exact_winners():
+    """P > 48 sweeps take the multi-chunk path at the production
+    default (max_chunk=48), where HIGH is clamped to the exact
+    (HIGHEST) tournament: winners must be bit-identical between HIGH
+    and HIGHEST and match the f64 oracle's argmax up to genuine f32
+    ties. Pins the conscious perf cliff (advisor r3 finding 5): a
+    >48-candidate sweep costs the exact-path rate, it never trades
+    winner correctness."""
+    import jax
+    from pygpa_tpu.ops import wfr as W
+    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+
+    size = 128
+    r_k, theta = 0.1, 7.0
+    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
+                                  dtype=np.float32))
+    img -= img.mean()
+    ks = np.array(generate_ks(r_k, theta))[:3]
+    k = ks[0]
+    knorms = np.linalg.norm(ks, axis=1)
+    sigma = int(np.ceil(1 / knorms.min()))
+    kw = knorms.mean() / 2.5
+    # 8x8 = 64 candidates > 48
+    offs = (np.arange(8) - 3.5) * (2 * kw / 8)
+    wx, wy = np.meshgrid(k[0] + offs, k[1] + offs, indexing="ij")
+    wlist = np.stack([wx.ravel(), wy.ravel()], -1)
+    P = wlist.shape[0]
+    assert P == 64
+
+    plan = W._plan_zoom((size, size), wlist, float(sigma))
+    assert plan is not None
+    spectrum = jnp.fft.fft2(jnp.asarray(img))
+    n = m = size
+    rdt = jnp.float32
+    scale = jnp.asarray(1.0 / (n * m), rdt)
+    idx0, idx1 = jnp.asarray(plan[0]), jnp.asarray(plan[1])
+    S = jnp.take(jnp.take(spectrum, idx0, axis=0), idx1, axis=1)
+    A0c, A0s = W._zoom_basis(n, idx0, rdt)
+    A1c, A1s = W._zoom_basis(m, idx1, rdt)
+    f0 = jnp.where(idx0 < n // 2, idx0, idx0 - n).astype(rdt) / n
+    f1 = jnp.where(idx1 < m // 2, idx1, idx1 - m).astype(rdt) / m
+    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
+    wr = jnp.asarray(wlist, rdt)
+    gx = jnp.exp(-s2 * (f0[None, :] + wr[:, 0:1]) ** 2)
+    gy = jnp.exp(-s2 * (f1[None, :] + wr[:, 1:2]) ** 2)
+
+    outs = {}
+    for prec in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST):
+        outs[prec] = fused_zoom_sweep(
+            S.real * scale, S.imag * scale, gx, gy, A0c, A0s, A1c,
+            A1s, precision=prec, interpret=True)
+    for a, b in zip(outs[jax.lax.Precision.HIGH],
+                    outs[jax.lax.Precision.HIGHEST]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # f64 oracle winner check
+    A0 = np.asarray(A0c, np.float64) + 1j * np.asarray(A0s)
+    A1 = np.asarray(A1c, np.float64) + 1j * np.asarray(A1s)
+    S0 = np.asarray(S, np.complex128) / (n * m)
+    ra = np.full((n, m), -1.0)
+    rx = np.zeros((n, m), np.int32)
+    for i in range(P):
+        gg = (np.asarray(gx, np.float64)[i][:, None]
+              * np.asarray(gy, np.float64)[i])
+        M = A0 @ (gg * S0) @ A1.T
+        absq = M.real ** 2 + M.imag ** 2
+        t = absq > ra
+        ra = np.where(t, absq, ra)
+        rx = np.where(t, i, rx)
+    ox = np.asarray(outs[jax.lax.Precision.HIGHEST][3])
+    mism = ox != rx
+    if mism.any():
+        # only genuine f32 ties may flip
+        oa = np.asarray(outs[jax.lax.Precision.HIGHEST][0],
+                        np.float64)
+        rel = np.abs(oa[mism] - ra[mism]) / np.maximum(ra[mism],
+                                                       1e-30)
+        assert rel.max() < 1e-5
+    # the 8x8 grid's finer spacing makes amplitude near-ties common
+    # (measured 3.2% f32-tie flips, all within 1e-5 relative)
+    assert mism.mean() < 0.05
