@@ -130,6 +130,13 @@ def _bspline_band_matrix(n, dtype):
     return (amp * sign * mag) * band
 
 
+# 'nearest'-mode sampling margin reproducing scipy's npad=12 pre-pad
+# (_interpolation.py:212-226): 12 off-image px of extended-spline
+# evaluation + 1 so the outer B-spline tap at the clamp stays inside
+# the extended coefficient array.
+NEAREST_MARGIN = 13
+
+
 def spline_filter(image, mode="mirror", axes=None, margin=0):
     """Cubic B-spline prefilter (scipy.ndimage.spline_filter order=3
     equivalent): returns the coefficient array c with B3 * c = image
@@ -138,11 +145,14 @@ def spline_filter(image, mode="mirror", axes=None, margin=0):
 
     margin > 0 keeps `margin` extra boundary-extension COEFFICIENTS on
     each side of each filtered axis (output length n + 2*margin). The
-    'nearest' sampling path needs margin=1: scipy samples the
-    coefficients of the edge-extended signal (its map_coordinates
-    pre-pads by 12, _interpolation.py:212-226), and the extended
-    coefficient at -1 is NOT c[0] — clamping taps to a cropped array
-    is wrong by up to ~0.2 within 1 px of the border."""
+    'nearest' sampling path needs margin=NEAREST_MARGIN: scipy samples
+    the coefficients of the edge-extended signal (its map_coordinates
+    pre-pads by npad=12, _interpolation.py:212-226) and only clamps
+    coordinates at the PADDED bounds, i.e. 12 px off-image — the
+    extended coefficient at -1 is NOT c[0] (clamping taps to a cropped
+    array is wrong by up to ~0.2 within 1 px of the border), and
+    off-image coordinates evaluate the edge-extended spline out to
+    +-12 px before clamping."""
     image = jnp.asarray(image)
     if axes is None:
         axes = tuple(range(image.ndim))
@@ -255,7 +265,8 @@ def map_coordinates(image, coordinates, order=3, mode="nearest", cval=0.0,
     coefficients (scipy semantics) — hoist spline_filter out of
     fixed-point loops that resample one image repeatedly; pass
     `margin` matching the spline_filter(margin=...) used (required
-    for scipy-exact 'nearest': margin=1, see spline_filter).
+    for scipy-exact 'nearest': margin=NEAREST_MARGIN, see
+    spline_filter).
     cubic='catmull' keeps the r1/r2 interpolating Catmull-Rom kernel
     (no prefilter pass; C^1, ~same accuracy on smooth fields).
     """
@@ -272,23 +283,30 @@ def map_coordinates(image, coordinates, order=3, mode="nearest", cval=0.0,
         raise NotImplementedError(f"mode={mode!r} not supported for cubic")
     if cubic == "bspline" and prefilter:
         if mode == "nearest":
-            margin = 1
-            image = spline_filter(image, mode=mode, margin=1)
+            margin = NEAREST_MARGIN
+            image = spline_filter(image, mode=mode, margin=margin)
         else:
             image = spline_filter(image, mode=mode)
     if margin:
-        # sample the margin-extended coefficients: clamp the COORDINATE
-        # to the domain (scipy's 'nearest' maps out-of-bounds
-        # coordinates to the edge) and shift into the extended frame;
-        # in-domain taps span [-1, n] of the logical grid = [margin-1,
-        # n+margin] of the extended array — never clamped
+        # sample the margin-extended coefficients: scipy's 'nearest'
+        # clamps coordinates at its npad=12 PRE-PAD bounds, not the
+        # domain edge — off-image coordinates up to 12 px out evaluate
+        # the edge-extended spline (scipy _interpolation.py:212-226 +
+        # the C mapper's NI_EXTEND_NEAREST on the padded array). Clamp
+        # at +-(margin-1) and shift into the extended frame; taps for
+        # any clamped coordinate span [-margin, n_l+margin] of the
+        # logical grid and the outermost one lands in the constant
+        # coefficient tail (sub-1e-7, scipy's own truncation level)
         mg = int(margin)
+        ext = mg - 1
         n_l = image.shape[0] - 2 * mg
         m_l = image.shape[1] - 2 * mg
         dt = coordinates.dtype
         coordinates = jnp.stack([
-            jnp.clip(coordinates[0], 0, n_l - 1) + jnp.asarray(mg, dt),
-            jnp.clip(coordinates[1], 0, m_l - 1) + jnp.asarray(mg, dt)])
+            jnp.clip(coordinates[0], -ext, n_l - 1 + ext)
+            + jnp.asarray(mg, dt),
+            jnp.clip(coordinates[1], -ext, m_l - 1 + ext)
+            + jnp.asarray(mg, dt)])
     if _use_pallas_warp(image, coordinates, order, mode):
         from ..ops.pallas_warp import warp_cubic
         return warp_cubic(image, coordinates[0], coordinates[1],

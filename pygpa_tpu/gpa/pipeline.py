@@ -37,7 +37,8 @@ def invert_u(us, iters=35, edge=0, mode="nearest", order=3):
     # prefilter ONCE outside the fixed-point loop (every iteration
     # resamples the same field); margin=1 keeps the boundary-extension
     # coefficients 'nearest' sampling needs (see interp.spline_filter)
-    mg = 1 if (order == 3 and mode == "nearest") else 0
+    mg = interp.NEAREST_MARGIN if (order == 3 and mode == "nearest") \
+        else 0
     usf = interp.spline_filter(us, mode=mode, axes=(-2, -1), margin=mg) \
         if order == 3 else us
 
@@ -79,7 +80,8 @@ def invert_u_overlap(us, iters=35, edge=0, mode="nearest", order=3,
     xx, yy = jnp.mgrid[-edge: n + edge, -edge: m + edge]
     xx = xx.astype(us.dtype)
     yy = yy.astype(us.dtype)
-    mg = 1 if (order == 3 and mode == "nearest") else 0
+    mg = interp.NEAREST_MARGIN if (order == 3 and mode == "nearest") \
+        else 0
 
     if coarse > 1:
         from ..solvers.unwrap import _resize_right, _sep2

@@ -178,13 +178,13 @@ def test_map_coordinates_nearest_exact_with_border():
                                             jnp.asarray(coords),
                                             order=3, mode="nearest"))
     assert np.abs(got - ref).max() < 1e-6
-    # DOCUMENTED DEVIATION (PARITY.md): out-of-domain coordinates
-    # evaluate at the edge-clamped position; scipy evaluates the
-    # edge-extended spline out to its 12-sample pad. The two agree at
-    # the domain edge and differ only outside the image.
-    oob = np.array([[-3.7, 35.2, 10.0], [5.0, 50.0, -0.4]])
-    clamped = np.stack([np.clip(oob[0], 0, 31), np.clip(oob[1], 0, 44)])
-    ref2 = ndi.map_coordinates(img, clamped, order=3, mode="nearest")
+    # out-of-domain coordinates match scipy's semantics too: the
+    # edge-extended spline is evaluated out to scipy's npad=12 pre-pad
+    # and clamped there (NEAREST_MARGIN) — formerly the one documented
+    # deviation, now scipy-exact to its own truncation level
+    oob = np.stack([rng.uniform(-20, 51, (2000,)),
+                    rng.uniform(-20, 64, (2000,))])
+    ref2 = ndi.map_coordinates(img, oob, order=3, mode="nearest")
     got2 = np.asarray(interp.map_coordinates(jnp.asarray(img),
                                              jnp.asarray(oob),
                                              order=3, mode="nearest"))
