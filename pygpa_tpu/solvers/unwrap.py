@@ -59,8 +59,77 @@ def _apply_q(p, WWx, WWy):
     return WWdx2 + WWdy2
 
 
-@partial(jax.jit, static_argnames=("kmax", "precision", "precond"))
-def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None):
+# --- lane-aligned stencil forms ------------------------------------------
+# The reference formulation carries (n, m-1)/(n-1, m) difference arrays;
+# on TPU those odd widths force relayouts on every elementwise pass
+# (measured: _residual alone ~13 ms at 4096^2 — as much as 10 CG
+# iterations at 1024^2). The multigrid path instead keeps every plane
+# (n, m) with a structurally-ZERO last column (x-diffs) / row (y-diffs):
+# neighbor shifts become lane/sublane rotations (jnp.roll) and the zero
+# tails make the wrap-around terms vanish, so the arithmetic is
+# IDENTICAL to the reference stencils (phase_unwrap.py:118-175) entry
+# for entry. Under GSPMD sharding the rolls lower to halo
+# collective-permutes, so the distributed path shares these forms.
+
+_JACOBI_OMEGA = 0.8   # damped-Jacobi factor (2D optimum 4/5)
+
+
+def _mask_last(a, axis):
+    """Zero the last slice along `axis` (fused iota compare)."""
+    ax = axis % a.ndim
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, ax)
+    return jnp.where(idx < a.shape[ax] - 1, a, jnp.zeros((), a.dtype))
+
+
+def _pad_last(a, axis):
+    """Append one zero slice along `axis` ((n, m-1) -> aligned (n, m))."""
+    shape = list(a.shape)
+    shape[axis % a.ndim] = 1
+    return jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=axis)
+
+
+def _residual_aligned(dxp, dyp, weight):
+    """_residual on aligned planes: dxp/dyp are (..., n, m) with a zero
+    last column/row. Returns rk and aligned WWx/WWy (zero tails)."""
+    if weight is None:
+        WWx = _mask_last(jnp.ones_like(dxp), -1)
+        WWy = _mask_last(jnp.ones_like(dyp), -2)
+    else:
+        WW = weight * weight
+        # WW >= 0, so masking before the min is equivalent and lets the
+        # rolled wrap-around slot hold anything
+        WWx = _mask_last(jnp.minimum(WW, jnp.roll(WW, -1, axis=-1)), -1)
+        WWy = _mask_last(jnp.minimum(WW, jnp.roll(WW, -1, axis=-2)), -2)
+    WWdx = WWx * dxp
+    WWdy = WWy * dyp
+    # zero tails make roll's wrap-around term vanish: this IS the
+    # prepend/append diff of the reference residual
+    rk = (WWdx - jnp.roll(WWdx, 1, axis=-1)
+          + WWdy - jnp.roll(WWdy, 1, axis=-2))
+    return rk, WWx, WWy
+
+
+def _apply_q_aligned(p, WWx, WWy):
+    """_apply_q with aligned (zero-tail) weights; the masked weights
+    kill the wrap-around column/row of both rolls."""
+    WWdx = WWx * (jnp.roll(p, -1, axis=-1) - p)
+    WWdy = WWy * (jnp.roll(p, -1, axis=-2) - p)
+    return (WWdx - jnp.roll(WWdx, 1, axis=-1)
+            + WWdy - jnp.roll(WWdy, 1, axis=-2))
+
+
+def _jacobi_dinv_aligned(WWx, WWy, omega=_JACOBI_OMEGA):
+    """_jacobi_dinv from aligned weights (see _jacobi_dinv)."""
+    D = -(WWx + jnp.roll(WWx, 1, axis=-1)
+          + WWy + jnp.roll(WWy, 1, axis=-2))
+    return jnp.where(jnp.abs(D) > 1e-8,
+                     omega / jnp.where(D != 0, D, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=("kmax", "precision", "precond",
+                                   "aligned"))
+def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None,
+               aligned=False):
     """PCG loop shared by phase_unwrap and phase_unwrap_prediff
     (phase_unwrap.py:183-207,326-349). `precision` scopes the MXU
     DCT matmul precision of the preconditioner (the CG outer products
@@ -77,10 +146,10 @@ def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None):
     if precision is None:
         precision = jax.lax.Precision.HIGH
     with mxu_fft_precision(precision):
-        return _cg_unwrap_body(rk0, WWx, WWy, kmax, precond)
+        return _cg_unwrap_body(rk0, WWx, WWy, kmax, precond, aligned)
 
 
-def _cg_unwrap_body(rk0, WWx, WWy, kmax, precond=None):
+def _cg_unwrap_body(rk0, WWx, WWy, kmax, precond=None, aligned=False):
     dt = rk0.dtype
     scale = _poisson_scale(rk0.shape[-2:], dt)
     if precond is None:
@@ -110,7 +179,7 @@ def _cg_unwrap_body(rk0, WWx, WWy, kmax, precond=None):
         beta = jnp.where(rzprev != 0, rz / jnp.where(rzprev != 0,
                                                      rzprev, 1.0), 0.0)
         pk = jnp.where(k == 0, zk, zk + beta * pk)
-        Qpk = _apply_q(pk, WWx, WWy)
+        Qpk = (_apply_q_aligned if aligned else _apply_q)(pk, WWx, WWy)
         pq = jnp.vdot(pk, Qpk).real.astype(dt)
         alpha = jnp.where(pq != 0, rz / jnp.where(pq != 0, pq, 1.0), 0.0)
         phi = phi + alpha * pk
@@ -164,6 +233,31 @@ def phase_unwrap(psi, weight=None, kmax=DEFAULTS.unwrap_kmax,
     return (phi, k) if return_iters else phi
 
 
+def phase_unwrap_mg(psi, weight=None, kmax=10, coarse=4, **kw):
+    """Multigrid-accelerated phase_unwrap: wrapped-difference the phase
+    image and integrate with the V-cycle solver the production pipeline
+    uses (phase_unwrap_prediff_mg). Same task as phase_unwrap
+    (phase_unwrap.py:141-208) solved by a different algorithm: on
+    lock-in-weighted GPA phases the weighted Poisson system is badly
+    conditioned and plain PCG converges slowly — measured on-chip on
+    the 2048^2 benchmark fixture, this path is ~7x faster than 25 CG
+    iterations AND ~7x closer to the converged solution (max err 0.12
+    vs 0.89 rad against a 200-iteration reference). Prefer it whenever
+    the phase is band-limited (every lock-in output is); phase_unwrap
+    remains the reference-exact CG solver."""
+    psi = jnp.asarray(psi)
+    dx = jnp.diff(psi, axis=-1)
+    dy = jnp.diff(psi, axis=-2)
+    if weight is None:
+        # unweighted unwrap IS one exact Poisson solve (CG with the
+        # unweighted-Poisson preconditioner converges in one step) —
+        # skip the V-cycle entirely
+        rk, _, _ = _residual(wrap_to_pi(dx), wrap_to_pi(dy), None)
+        return solve_poisson(rk)
+    return phase_unwrap_prediff_mg(dx, dy, weight, kmax=int(kmax),
+                                   coarse=coarse, **kw)
+
+
 def phase_unwrap_prediff(dx, dy, weight=None,
                          kmax=DEFAULTS.unwrap_kmax,
                          return_iters=False):
@@ -215,9 +309,6 @@ def _sep2(a, left, right, precision=jax.lax.Precision.HIGH):
         a = jnp.einsum("...nm,mc->...nc", a, right,
                        precision=precision)
     return a
-
-
-_JACOBI_OMEGA = 0.8   # damped-Jacobi factor (2D optimum 4/5)
 
 
 def _jacobi_dinv(rk, WWx, WWy, omega=_JACOBI_OMEGA):
@@ -289,6 +380,12 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             schedule = ((c, int(kmax)), (1, int(refine_iters)))
 
     dt = dx.dtype
+    # aligned planes: every level's x/y-diffs live in (rows, cols)
+    # arrays with a structurally-zero last column/row (see the
+    # lane-aligned stencil forms above) — the only odd-width arrays in
+    # the whole solve are the user-facing inputs, padded once here
+    dxp = _pad_last(dx, -1) if dx.shape[-1] == m - 1 else dx
+    dyp = _pad_last(dy, -2) if dy.shape[-2] == n - 1 else dy
 
     def block_mean(a, rows, cols, c):
         # both axes as averaging matmuls: lane-splitting reshape
@@ -301,12 +398,16 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
 
     def level_data(c):
         if c == 1:
-            return dx, dy, weight
+            return dxp, dyp, weight
         nc, mc = n // c, m // c
-        # coarse differences = c * block-averaged fine differences;
-        # no re-wrapping: they can legitimately exceed pi
-        dxc = block_mean(dx[..., :, : (mc - 1) * c], nc, mc - 1, c) * c
-        dyc = block_mean(dy[..., : (nc - 1) * c, :], nc - 1, mc, c) * c
+        # coarse differences = c * block-averaged fine differences; one
+        # stacked einsum pair restricts both planes (no re-wrapping:
+        # they can legitimately exceed pi). The last coarse column/row
+        # mixes real and pad values — masked back to the structural
+        # zero (the reference coarse problem has no diff there).
+        dxyc = block_mean(jnp.stack([dxp, dyp], 0), nc, mc, c) * c
+        dxc = _mask_last(dxyc[0], -1)
+        dyc = _mask_last(dxyc[1], -2)
         wc = block_mean(weight, nc, mc, c) if weight is not None \
             else None
         return dxc, dyc, wc
@@ -322,14 +423,14 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
         nc, mc = n // int(c), m // int(c)
         pre = precond_factory((nc, mc)) if precond_factory else None
         if phi is None:
-            rk, WWx, WWy = _residual(dxc, dyc, wc)
+            rk, WWx, WWy = _residual_aligned(dxc, dyc, wc)
             phi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision,
-                                pre)
+                                pre, aligned=True)
             continue
         phi = upsample(phi, nc, mc)
         # residual gradients are small and unwrapped by construction
-        rdx = dxc - jnp.diff(phi, axis=-1)
-        rdy = dyc - jnp.diff(phi, axis=-2)
+        rdx = dxc - _mask_last(jnp.roll(phi, -1, axis=-1) - phi, -1)
+        rdy = dyc - _mask_last(jnp.roll(phi, -1, axis=-2) - phi, -2)
         if isinstance(iters, str):
             if iters not in ("v", "vv"):
                 raise ValueError(
@@ -346,21 +447,21 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             # coarse revisit is what fixes it. "vv" runs a second
             # correct+smooth round on the updated residual.
             rounds = 2 if iters == "vv" else 1
-            rk, WWx, WWy = _residual(rdx, rdy, wc)
-            Dinv = _jacobi_dinv(rk, WWx, WWy)
+            rk, WWx, WWy = _residual_aligned(rdx, rdy, wc)
+            Dinv = _jacobi_dinv_aligned(WWx, WWy)
             d = rk * Dinv
-            r = rk - _apply_q(d, WWx, WWy)
+            r = rk - _apply_q_aligned(d, WWx, WWy)
             cv = int(v_coarse_mult) * int(c)
             dxv, dyv, wv = level_data(cv)
-            _, WWxv, WWyv = _residual(dxv, dyv, wv)
+            _, WWxv, WWyv = _residual_aligned(dxv, dyv, wv)
             prev = precond_factory((n // cv, m // cv)) \
                 if precond_factory else None
             for j in range(rounds):
                 r2c = block_mean(r, n // cv, m // cv, cv)
                 dcor, _ = _cg_unwrap(r2c, WWxv, WWyv, int(kmax),
-                                     precision, prev)
+                                     precision, prev, aligned=True)
                 dcu = upsample(dcor, nc, mc)
-                q = _apply_q(dcu, WWx, WWy)
+                q = _apply_q_aligned(dcu, WWx, WWy)
                 num = jnp.vdot(r, dcu).real.astype(dt)
                 den = jnp.vdot(dcu, q).real.astype(dt)
                 alpha = jnp.where(
@@ -370,13 +471,13 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                 s = r * Dinv
                 d = d + s
                 if j < rounds - 1:
-                    r = r - _apply_q(s, WWx, WWy)
+                    r = r - _apply_q_aligned(s, WWx, WWy)
             phi = phi + d
             continue
         if iters > 0:
-            rk, WWx, WWy = _residual(rdx, rdy, wc)
+            rk, WWx, WWy = _residual_aligned(rdx, rdy, wc)
             dphi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision,
-                                 pre)
+                                 pre, aligned=True)
             phi = phi + dphi
     if int(schedule[-1][0]) != 1:
         phi = upsample(phi, n, m)
