@@ -6,8 +6,8 @@ dryrun silently takes the XLA fallback and cannot catch a broken
 kernel signature or launch configuration (the round-3 failure class:
 a kernel keyword added without updating the pallas_call site shipped
 with a green dryrun).  ``run_kernel_smoke()`` forces every kernel
-entry — grouped sweep (plain / grad / uv / screened), single-peak
-sweep (plain / grad / emit / screened / multi-chunk), warp (bilinear
+entry — grouped sweep (plain / grad / uv), single-peak
+sweep (plain / grad / emit / multi-chunk), warp (bilinear
 and cubic, both boundary modes), DCT lane kernels, unit-cell expand
 and drizzle — through interpret mode on small fixtures and sanity-
 checks the outputs.  Runs on any backend in well under two minutes;
@@ -84,13 +84,6 @@ def run_kernel_smoke(verbose=False):
     assert uv[0].shape == (2,) + img.shape and uv[2].shape == img.shape
     log("grouped uv ok")
 
-    phs, wts = wfr_sweep_phase_weight_multi(img, wlists, sigma, dr,
-                                            screen=4, interpret=True)
-    _check("grouped screened", phs, wts)
-    np.testing.assert_allclose(np.asarray(phs), np.asarray(ph),
-                               atol=1e-5)
-    log("grouped screened ok")
-
     # --- single-peak sweep kernel ---
     g = wfr_sweep(img, wlists[0], ks[0], sigma, interpret=True)
     _check("single", np.abs(np.asarray(g["lockin"])), g["w"])
@@ -100,11 +93,6 @@ def run_kernel_smoke(verbose=False):
                    interpret=True)
     _check("single grad", g2["grad"])
     log("single grad ok")
-
-    g3 = wfr_sweep(img, wlists[0], ks[0], sigma, screen=4,
-                   interpret=True)
-    _check("single screened", np.abs(np.asarray(g3["lockin"])))
-    log("single screened ok")
 
     ph1, wt1 = wfr_sweep_phase_weight(img, wlists[0], ks[0], sigma, dr,
                                       interpret=True)

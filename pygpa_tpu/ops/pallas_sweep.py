@@ -89,12 +89,12 @@ def _split_bf16(x):
 
 def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             a0c_ref, a0s_ref, b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
-            b1rs_ref, b1is_ref, base_ref,
+            base_ref,
             ba_ref, br_ref, bi_ref, bx_ref, bgx_ref, bgy_ref,
             oa_ref, or_ref, oi_ref, ox_ref, ogx_ref, ogy_ref,
             ph_ref, w_ref,
-            t_ref, tlo_ref, tx_ref, txlo_ref, la_ref, lx_ref, *,
-            precision, emit_dr, emit_grad, screen):
+            t_ref, tlo_ref, tx_ref, txlo_ref, *,
+            precision, emit_dr, emit_grad):
     C = gx_ref.shape[0]
     R = a0c_ref.shape[0]
     W1 = sr_ref.shape[1]
@@ -191,53 +191,20 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
         # local — bf16 values are never compared against the exact
         # carries, so multi-chunk sweeps carry no earlier-chunk bias:
         # only exact pass-B values cross chunk boundaries below.
-        mall = None
-        if screen:
-            # SCREENING (see _grouped_kernel): flag candidates on a
-            # column-subsampled dot, then run the full-res tournament
-            # only over flagged ones, via la/lx scratch (pl.when
-            # bodies mutate state through refs). lx holds GLOBAL
-            # candidate indices so the carry merge below is unchanged.
-            sa_r = raw(thi, b1rs_ref[:].astype(jnp.bfloat16))
-            sa_i = raw(thi, b1is_ref[:].astype(jnp.bfloat16))
-            absqs = []
-            best_s = None
-            for i in range(C):
-                sr_ = sa_r[i * R:(i + 1) * R]
-                si_ = sa_i[i * R:(i + 1) * R]
-                a = sr_ * sr_ + si_ * si_
-                absqs.append(a)
-                best_s = a if best_s is None else \
-                    jnp.maximum(best_s, a)
-            thr = best_s * (1.0 - _SCREEN_EPS)
-            flags = [jnp.any(absqs[i] >= thr) for i in range(C)]
-            la_ref[:] = jnp.full(la_ref.shape, -1.0, jnp.float32)
-            for i in range(C):
-                @pl.when(flags[i])
-                def _passA(i=i):
-                    sl = slice(i * R, (i + 1) * R)
-                    mr = raw(thi[sl], b1r_hi)
-                    mi = raw(thi[sl], b1i_hi)
-                    absq = mr * mr + mi * mi
-                    sel = absq > la_ref[:]
-                    la_ref[:] = jnp.where(sel, absq, la_ref[:])
-                    lx_ref[:] = jnp.where(sel, base + i, lx_ref[:])
-            lx = lx_ref[:]
-        else:
-            mall_r = raw(thi, b1r_hi)
-            mall_i = raw(thi, b1i_hi)
-            mall = (mall_r, mall_i)
-            mr0 = mall_r[:R]
-            mi0 = mall_i[:R]
-            la = mr0 * mr0 + mi0 * mi0
-            lx = jnp.full(la.shape, base, jnp.int32)
-            for i in range(1, C):
-                mr = mall_r[i * R:(i + 1) * R]
-                mi = mall_i[i * R:(i + 1) * R]
-                absq = mr * mr + mi * mi
-                sel = absq > la
-                la = jnp.where(sel, absq, la)
-                lx = jnp.where(sel, base + i, lx)
+        mall_r = raw(thi, b1r_hi)
+        mall_i = raw(thi, b1i_hi)
+        mall = (mall_r, mall_i)
+        mr0 = mall_r[:R]
+        mi0 = mall_i[:R]
+        la = mr0 * mr0 + mi0 * mi0
+        lx = jnp.full(la.shape, base, jnp.int32)
+        for i in range(1, C):
+            mr = mall_r[i * R:(i + 1) * R]
+            mi = mall_i[i * R:(i + 1) * R]
+            absq = mr * mr + mi * mi
+            sel = absq > la
+            la = jnp.where(sel, absq, la)
+            lx = jnp.where(sel, base + i, lx)
         # PASS B — exact bf16x3 recompute of ONLY the in-chunk winners
         # (typically 1-3 of C): 1 + ~3*3/C effective MXU passes instead
         # of 3. Every pixel selects exactly one candidate, so the o
@@ -248,16 +215,11 @@ def _kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
             @pl.when(jnp.any(sel))
             def _recompute(i=i, sel=sel):
                 sl = slice(i * R, (i + 1) * R)
-                # hi*hi term is pass A's dot — reused when the dense
-                # pass A ran, recomputed under the screening path —
-                # plus the two bf16x3 cross terms
-                hh_r = (mall[0][sl] if mall is not None
-                        else raw(thi[sl], b1r_hi))
-                hh_i = (mall[1][sl] if mall is not None
-                        else raw(thi[sl], b1i_hi))
-                mr = (hh_r + raw(thi[sl], b1r_lo)
+                # hi*hi term is pass A's dot, reused — plus the two
+                # bf16x3 cross terms
+                mr = (mall[0][sl] + raw(thi[sl], b1r_lo)
                       + raw(tlo[sl], b1r_hi))
-                mi = (hh_i + raw(thi[sl], b1i_lo)
+                mi = (mall[1][sl] + raw(thi[sl], b1i_lo)
                       + raw(tlo[sl], b1i_hi))
                 oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
                                       oa_ref[:])
@@ -402,12 +364,12 @@ def _emit(ph_ref, w_ref, oa_ref, or_ref, oi_ref, emit_dr):
 def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     a0c_ref, a0s_ref,
                     b1r_ref, b1i_ref, b1yr_ref, b1yi_ref,
-                    b1rs_ref, b1is_ref, ph_ref, w_ref,
+                    ph_ref, w_ref,
                     gxo_ref, gyo_ref, ux_ref, uy_ref, wn_ref,
                     t_ref, tx_ref, oa_ref, or_ref, oi_ref,
-                    la_ref, lx_ref, ro_ref, ph_scr, wt_scr, cc_scr,
+                    ro_ref, ph_scr, wt_scr, cc_scr,
                     rc_scr, *,
-                    precision, emit_dr, emit_grad, screen, uv_ks,
+                    precision, emit_dr, emit_grad, uv_ks,
                     col_groups):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
@@ -579,107 +541,42 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                         sel, (mi * mxr - mr * mxi) / den, gxo_ref[g])
                     gyo_ref[g] = jnp.where(
                         sel, (mi * myr - mr * myi) / den, gyo_ref[g])
-            if screen:
-                # SCREENING pass: evaluate every candidate only on a
-                # `screen`-subsampled column grid (still every row), a
-                # 1/screen-cost bf16 dot, and flag the candidates whose
-                # screened amplitude comes within _SCREEN_EPS of the
-                # co-located best anywhere in the tile. The lock-in
-                # amplitude envelope varies on the sigma~1/|dk| scale
-                # (tens of px), far wider than the `screen`-px sampling
-                # gap, so with the margin the per-pixel winner is
-                # flagged; a sub-margin flip picks an amplitude-
-                # equivalent near-tie (same class the bf16 pass-A
-                # tournament already permits, accuracy-gated on-chip).
-                sa_r = raw(thi, b1rs_ref[g].astype(jnp.bfloat16))
-                sa_i = raw(thi, b1is_ref[g].astype(jnp.bfloat16))
-                absqs = []
-                best_s = None
-                for i in range(P):
-                    sr_ = sa_r[i * R:(i + 1) * R]
-                    si_ = sa_i[i * R:(i + 1) * R]
-                    a = sr_ * sr_ + si_ * si_
-                    absqs.append(a)
-                    best_s = a if best_s is None else \
-                        jnp.maximum(best_s, a)
-                thr = best_s * (1.0 - _SCREEN_EPS)
-                flags = [jnp.any(absqs[i] >= thr) for i in range(P)]
-                # restricted full-res tournament over flagged
-                # candidates only (hi-only bf16 amplitudes, like the
-                # dense pass A); la/lx live in scratch because pl.when
-                # bodies mutate state through refs
-                la_ref[:] = jnp.full(la_ref.shape, -1.0, jnp.float32)
-                for i in range(P):
-                    @pl.when(flags[i])
-                    def _passA(i=i):
-                        sl = slice(i * R, (i + 1) * R)
-                        mr = raw(thi[sl], b1r_hi)
-                        mi = raw(thi[sl], b1i_hi)
-                        absq = mr * mr + mi * mi
-                        sel = absq > la_ref[:]
-                        la_ref[:] = jnp.where(sel, absq, la_ref[:])
-                        lx_ref[:] = jnp.where(sel, i, lx_ref[:])
-                lx = lx_ref[:]
-                # pass B: exact bf16x3 winners; the hi*hi dot is
-                # recomputed (pass A's restricted results aren't
-                # retained) + ONE deep cross-term dot via the
-                # [hi | lo] scratch layout.
-                for i in range(P):
-                    sel = lx == i
+            mall_r = raw(thi, b1r_hi)
+            mall_i = raw(thi, b1i_hi)
+            mr0 = mall_r[:R]
+            mi0 = mall_i[:R]
+            la = mr0 * mr0 + mi0 * mi0
+            lx = jnp.zeros(la.shape, jnp.int32)
+            for i in range(1, P):
+                mr = mall_r[i * R:(i + 1) * R]
+                mi = mall_i[i * R:(i + 1) * R]
+                absq = mr * mr + mi * mi
+                sel = absq > la
+                la = jnp.where(sel, absq, la)
+                lx = jnp.where(sel, i, lx)
+            # pass B: exact bf16x3 for the winners only. The hi*hi
+            # term is pass A's mall_r/mall_i slice (bitwise the
+            # same dot); the two cross terms thi@blo + tlo@bhi
+            # collapse into ONE deep dot against [b_lo | b_hi]
+            # thanks to the [hi | lo] scratch layout — 2 MXU calls
+            # per winner instead of 6.
+            for i in range(P):
+                sel = lx == i
 
-                    @pl.when(jnp.any(sel))
-                    def _recompute(i=i, sel=sel):
-                        sl = slice(i * R, (i + 1) * R)
-                        mr = (raw(thi[sl], b1r_hi)
-                              + raw(t[sl], bcat_r))
-                        mi = (raw(thi[sl], b1i_hi)
-                              + raw(t[sl], bcat_i))
-                        oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
-                                              oa_ref[:])
-                        or_ref[:] = jnp.where(sel, mr, or_ref[:])
-                        oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
-                        if banded:
-                            ro_ref[:] = jnp.where(sel, offs[g][i],
-                                                  ro_ref[:])
-                        if emit_grad:
-                            _grad_writes(i, sel, mr, mi)
-            else:
-                mall_r = raw(thi, b1r_hi)
-                mall_i = raw(thi, b1i_hi)
-                mr0 = mall_r[:R]
-                mi0 = mall_i[:R]
-                la = mr0 * mr0 + mi0 * mi0
-                lx = jnp.zeros(la.shape, jnp.int32)
-                for i in range(1, P):
-                    mr = mall_r[i * R:(i + 1) * R]
-                    mi = mall_i[i * R:(i + 1) * R]
-                    absq = mr * mr + mi * mi
-                    sel = absq > la
-                    la = jnp.where(sel, absq, la)
-                    lx = jnp.where(sel, i, lx)
-                # pass B: exact bf16x3 for the winners only. The hi*hi
-                # term is pass A's mall_r/mall_i slice (bitwise the
-                # same dot); the two cross terms thi@blo + tlo@bhi
-                # collapse into ONE deep dot against [b_lo | b_hi]
-                # thanks to the [hi | lo] scratch layout — 2 MXU calls
-                # per winner instead of 6.
-                for i in range(P):
-                    sel = lx == i
-
-                    @pl.when(jnp.any(sel))
-                    def _recompute(i=i, sel=sel):
-                        sl = slice(i * R, (i + 1) * R)
-                        mr = mall_r[sl] + raw(t[sl], bcat_r)
-                        mi = mall_i[sl] + raw(t[sl], bcat_i)
-                        oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
-                                              oa_ref[:])
-                        or_ref[:] = jnp.where(sel, mr, or_ref[:])
-                        oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
-                        if banded:
-                            ro_ref[:] = jnp.where(sel, offs[g][i],
-                                                  ro_ref[:])
-                        if emit_grad:
-                            _grad_writes(i, sel, mr, mi)
+                @pl.when(jnp.any(sel))
+                def _recompute(i=i, sel=sel):
+                    sl = slice(i * R, (i + 1) * R)
+                    mr = mall_r[sl] + raw(t[sl], bcat_r)
+                    mi = mall_i[sl] + raw(t[sl], bcat_i)
+                    oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
+                                          oa_ref[:])
+                    or_ref[:] = jnp.where(sel, mr, or_ref[:])
+                    oi_ref[:] = jnp.where(sel, mi, oi_ref[:])
+                    if banded:
+                        ro_ref[:] = jnp.where(sel, offs[g][i],
+                                              ro_ref[:])
+                    if emit_grad:
+                        _grad_writes(i, sel, mr, mi)
             oa, om_r, om_i = oa_ref[:], or_ref[:], oi_ref[:]
         else:
             mall_r = dot(t, b1r_ref[g], _D11)
@@ -822,30 +719,26 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
     wn_ref[:] = jnp.sqrt(wsq)
 
 
-# Screening-pass knobs (HIGH-precision grouped sweep). _SCREEN is the
-# column-subsample factor of the cheap candidate-flagging dot (4 keeps
-# the screen dot's lane dim at cols/4 = 128); _SCREEN_EPS the relative
-# amplitude margin for flagging — a candidate is evaluated at full
-# resolution iff its screened |M|^2 reaches (1-eps) x the co-located
-# best anywhere in the (rows, cols) tile. 0 disables screening.
-# MEASURED on-chip (r3, 4096^2, P=36): screening LOSES — screen=2/4/8
-# ran 72/156/65 ms vs 58 ms unscreened (the flagging dot + restricted
-# tournament cost more than the skipped full-res work saves at this
-# candidate count); e2e throughput unchanged, accuracy identical.
-# Kept as a validated, tested option for much larger candidate banks;
-# the production default stays 0.
-_SCREEN = 0
-_SCREEN_EPS = 0.1
+# Candidate SCREENING (a cheap column-subsampled flagging dot
+# restricting the full-res tournament to candidates that can win
+# somewhere in the tile) was implemented and A/B'd on-chip twice, and
+# REMOVED: at the production P=36 it ran 72/156/65 ms (screen=2/4/8)
+# vs 58 ms unscreened (r3), and at P=100 (the large-bank regime it
+# was kept for) it flipped 72% of winners with up to 1e-2 relative
+# amplitude error against the exact path (r4) — the lock-in
+# amplitude's near-ties are too dense for margin-based flagging once
+# the candidate grid is fine. Large banks route through the clamped
+# HIGHEST multi-chunk path instead (see fused_zoom_sweep).
 
 
 @partial(jax.jit,
          static_argnames=("rows", "cols", "precision", "interpret",
-                          "dr", "screen", "uv_ks", "col_groups"))
+                          "dr", "uv_ks", "col_groups"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                              A1ss, grad_ops=None, uv_ks=None, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
                              rows=None, cols=None, interpret=False,
-                             screen=None, col_groups=None):
+                             col_groups=None):
     """Multi-peak emit-only sweep driver: G peaks, each with its own
     (W0, W1) spectrum window, candidate bank and DFT bases, in one
     pallas launch. Returns (phase (G, n, m), weight (G, n, m)) — the
@@ -855,12 +748,6 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     grad_ops = (S2rs, S2is, A1ycs, A1yss): the (G, W0, W1)
     row-derivative windows (2 pi i f0) * S and the (G, m, W1)
     column-derivative bases (2 pi i f1) * A1 (see fused_zoom_sweep).
-
-    screen: column-subsample factor of the candidate screening pass
-    (HIGH precision only; None = _SCREEN default, 0 disables). The
-    full-resolution tournament then runs only over candidates that
-    can win somewhere in each tile (typically 3-8 of P), cutting the
-    dominant pass-A MXU cost ~P/(P/screen + flagged).
 
     uv_ks: STATIC G-tuple of (2*pi*k_row, 2*pi*k_col) float pairs —
     switch the emission to the fused RECONSTRUCTION PROLOGUE: returns
@@ -904,10 +791,6 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         cols = max(b for b in cands if m % b == 0)
     grid = (n // rows, m // cols)
     high = precision == jax.lax.Precision.HIGH
-    if screen is None:
-        screen = _SCREEN
-    if not high or cols % max(screen, 1) or P < 8:
-        screen = 0
     if col_groups is not None:
         Wb, runs = col_groups
         Wb = int(Wb)
@@ -981,22 +864,6 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
         S2rs = S2is = B1yr = B1yi = dummy
         tx_scr = pltpu.VMEM((8, 128), jnp.bfloat16)
 
-    if screen:
-        # every screen-th column of the basis (reshape+slice, not a
-        # strided slice, which relayouts poorly on TPU)
-        B1rs = B1r.reshape(G, m // screen, screen, 2 * Wb)[:, :, 0]
-        B1is = B1i.reshape(G, m // screen, screen, 2 * Wb)[:, :, 0]
-        sspec = pl.BlockSpec((G, cols // screen, 2 * Wb),
-                             lambda r, c: (0, c, 0),
-                             memory_space=pltpu.VMEM)
-        la_scr = pltpu.VMEM((rows, cols), jnp.float32)
-        lx_scr = pltpu.VMEM((rows, cols), jnp.int32)
-    else:
-        B1rs = B1is = dummy
-        sspec = dummy_spec()
-        la_scr = pltpu.VMEM((8, 128), jnp.float32)
-        lx_scr = pltpu.VMEM((8, 128), jnp.int32)
-
     gplane = pl.BlockSpec((G, rows, cols), lambda r, c: (0, r, c),
                           memory_space=pltpu.VMEM)
     g_spec = gplane if emit_grad else dummy_spec()
@@ -1034,7 +901,7 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
                 emit_dr=(int(dr), n, m), emit_grad=emit_grad,
-                screen=screen, uv_ks=uv_ks, col_groups=kernel_groups),
+                uv_ks=uv_ks, col_groups=kernel_groups),
         grid=grid,
         in_specs=[const((G, H, W0, Wb)), const((G, H, W0, Wb)),
                   const((G, H, W0, Wb)) if emit_grad else dummy_spec(),
@@ -1046,8 +913,7 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                                memory_space=pltpu.VMEM),
                   colspec, colspec,
                   colspec if emit_grad else dummy_spec(),
-                  colspec if emit_grad else dummy_spec(),
-                  sspec, sspec],
+                  colspec if emit_grad else dummy_spec()],
         out_specs=(ph_spec, w_spec, g_spec, g_spec,
                    uv_spec, uv_spec, wn_spec),
         out_shape=(jax.ShapeDtypeStruct(pw_shape, Srs.dtype),
@@ -1065,12 +931,12 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
-            la_scr, lx_scr, ro_scr, ph_scr, wt_scr, cc_scr, rc_scr],
+            ro_scr, ph_scr, wt_scr, cc_scr, rc_scr],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Srs4, Sis4, S2rs, S2is, gxs, gys, A0cs, A0ss, B1r, B1i,
-      B1yr, B1yi, B1rs, B1is)
+      B1yr, B1yi)
     if emit_uv:
         return out[4], out[5], out[6]
     return out[:4] if emit_grad else out[:2]
@@ -1078,14 +944,14 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
 
 @partial(jax.jit,
          static_argnames=("n", "m", "rows", "cols", "precision",
-                          "interpret", "emit_dr", "screen"))
+                          "interpret", "emit_dr"))
 def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                            base_idx, best_absq, best_r, best_i,
                            best_idx, S2r=None, S2i=None, B1yr=None,
                            B1yi=None, best_gx=None, best_gy=None,
                            *, n, m, rows=None, cols=None,
                            precision=jax.lax.Precision.HIGHEST,
-                           interpret=False, emit_dr=None, screen=None):
+                           interpret=False, emit_dr=None):
     """Run one chunk of C candidates through the fully-fused sweep,
     updating the carry planes in place (donated/aliased).
 
@@ -1106,10 +972,6 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
     cols = cols or max(b for b in (128, _COLS) if m % b == 0)
     grid = (n // rows, m // cols)
     high = precision == jax.lax.Precision.HIGH
-    if screen is None:
-        screen = _SCREEN
-    if not high or cols % max(screen, 1) or C < 8:
-        screen = 0
 
     def const(shape):
         return pl.BlockSpec(shape, lambda r, c: (0,) * len(shape),
@@ -1134,22 +996,9 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
     g_spec = plane() if emit_grad else dummy_spec()
     if not emit_grad:
         S2r = S2i = B1yr = B1yi = best_gx = best_gy = dummy
-    if screen:
-        B1rs = B1r.reshape(m // screen, screen, 2 * W1)[:, 0]
-        B1is = B1i.reshape(m // screen, screen, 2 * W1)[:, 0]
-        sspec = pl.BlockSpec((cols // screen, 2 * W1),
-                             lambda r, c: (c, 0),
-                             memory_space=pltpu.VMEM)
-        la_scr = pltpu.VMEM((rows, cols), jnp.float32)
-        lx_scr = pltpu.VMEM((rows, cols), jnp.int32)
-    else:
-        B1rs = B1is = dummy
-        sspec = dummy_spec()
-        la_scr = pltpu.VMEM((8, 128), jnp.float32)
-        lx_scr = pltpu.VMEM((8, 128), jnp.int32)
-    aliases = {15: 0, 16: 1, 17: 2, 18: 3}
+    aliases = {13: 0, 14: 1, 15: 2, 16: 3}
     if emit_grad:
-        aliases.update({19: 4, 20: 5})
+        aliases.update({17: 4, 18: 5})
 
     t_scr = pltpu.VMEM((C * rows, 2 * W1),
                        jnp.bfloat16 if high else jnp.float32)
@@ -1164,7 +1013,7 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
 
     out = pl.pallas_call(
         partial(_kernel, precision=precision, emit_dr=emit_dr,
-                emit_grad=emit_grad, screen=screen),
+                emit_grad=emit_grad),
         grid=grid,
         in_specs=[const((W0, W1)), const((W0, W1)),
                   const(S2r.shape) if emit_grad else dummy_spec(),
@@ -1177,7 +1026,6 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                   colspec, colspec,
                   colspec if emit_grad else dummy_spec(),
                   colspec if emit_grad else dummy_spec(),
-                  sspec, sspec,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   plane(), plane(), plane(), plane(),
                   g_spec, g_spec],
@@ -1192,15 +1040,13 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
                    jax.ShapeDtypeStruct(ph_shape, best_absq.dtype),
                    jax.ShapeDtypeStruct(ph_shape, best_absq.dtype)),
         input_output_aliases=aliases,
-        scratch_shapes=[t_scr, tlo_scr, tx_scr, txlo_scr, la_scr,
-                        lx_scr],
+        scratch_shapes=[t_scr, tlo_scr, tx_scr, txlo_scr],
         # the candidate partials live in VMEM scratch for the whole
         # row block — budget beyond the 16MB default (v5e has 128MB)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Sr, Si, S2r, S2i, gx, gy, A0c, A0s, B1r, B1i, B1yr, B1yi,
-      B1rs, B1is,
       jnp.asarray([base_idx], jnp.int32).reshape(1),
       best_absq, best_r, best_i, best_idx, best_gx, best_gy)
     return out
@@ -1209,7 +1055,7 @@ def fused_zoom_sweep_chunk(Sr, Si, gx, gy, A0c, A0s, B1r, B1i,
 def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
                      precision=jax.lax.Precision.HIGHEST,
                      max_chunk=48, interpret=False, emit_dr=None,
-                     grad_ops=None, screen=None):
+                     grad_ops=None):
     """Whole-sweep driver: splits the P candidates into VMEM-sized
     chunks (unrolled Python loop, one pallas_call each — usually one)
     and returns (best_absq, best_r, best_i, best_idx
@@ -1263,7 +1109,7 @@ def fused_zoom_sweep(Sr, Si, gx, gy, A0c, A0s, A1c, A1s, *,
                 Sr, Si, gx[s:e], gy[s:e], A0c, A0s, B1r, B1i, s,
                 best_absq, best_r, best_i, best_idx, n=n, m=m,
                 precision=precision, interpret=interpret, emit_dr=ed,
-                screen=screen, **gkw)
+                **gkw)
         if grad_ops is not None:
             gkw["best_gx"] = bgx
             gkw["best_gy"] = bgy

@@ -469,9 +469,9 @@ def _use_pallas_sweep():
 
 
 @partial(jax.jit, static_argnames=("sigma", "with_grad", "chunk",
-                                   "interpret", "screen"))
+                                   "interpret"))
 def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
-                    chunk, interpret=False, screen=None):
+                    chunk, interpret=False):
     """Band-limited sweep: crop the spectrum to the (W0, W1) window all
     candidate bandpasses live in, then per candidate compute the
     full-resolution demodulated lock-in M_w as two real-decomposed
@@ -527,7 +527,7 @@ def _wfr_sweep_zoom(spectrum, wlist, idx0, idx1, sigma, with_grad,
                 A1c * tpf1[None, :]))
         out = fused_zoom_sweep(
             Sr * scale, Si * scale, gx, gy, A0c, A0s, A1c, A1s,
-            precision=hi, interpret=interpret, screen=screen, **gkw)
+            precision=hi, interpret=interpret, **gkw)
         best_absq, best_r, best_i, best_idx = out[:4]
         best_grad = (jnp.stack([out[4], out[5]], axis=-1) if with_grad
                      else jnp.zeros((0,), rdt))
@@ -651,11 +651,11 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
 
 
 @partial(jax.jit,
-         static_argnames=("sigma", "dr", "screen", "with_grad",
+         static_argnames=("sigma", "dr", "with_grad",
                           "direct", "uv_ks", "interpret",
                           "col_groups"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
-                               screen=None, with_grad=False,
+                               with_grad=False,
                                direct=False, uv_ks=None,
                                interpret=False, col_groups=None):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
@@ -716,12 +716,12 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
     return fused_zoom_sweep_grouped(
         Sr, Si, gxs, gys, A0c, A0s, A1c, A1s,
         grad_ops, uv_ks=uv_tp, dr=int(dr),
-        precision=_ZOOM_PRECISION, screen=screen,
+        precision=_ZOOM_PRECISION,
         interpret=interpret, col_groups=col_groups)
 
 
 def wfr_sweep_uv_multi(image, wlists, sigma, dr, krefs, *,
-                       spectrum=None, screen=None, gauss_cut=None,
+                       spectrum=None, gauss_cut=None,
                        interpret=False):
     """Fused sweep + reconstruction prologue for ALL Bragg peaks in
     one kernel launch: returns (dudx_s (2, N, M), dudy_s (2, N, M),
@@ -732,13 +732,13 @@ def wfr_sweep_uv_multi(image, wlists, sigma, dr, krefs, *,
     path is unavailable (caller falls back to
     wfr_sweep_phase_weight_multi + reconstruct_u_inv_from_demod)."""
     return wfr_sweep_phase_weight_multi(
-        image, wlists, sigma, dr, spectrum=spectrum, screen=screen,
+        image, wlists, sigma, dr, spectrum=spectrum,
         gauss_cut=gauss_cut, krefs=krefs, _uv=True,
         interpret=interpret)
 
 
 def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
-                                 spectrum=None, screen=None, chunk=8,
+                                 spectrum=None, chunk=8,
                                  with_grad=False, krefs=None,
                                  gauss_cut=None, _uv=False,
                                  interpret=False):
@@ -816,7 +816,7 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                           for k in np.asarray(krefs))
         out = _wfr_sweep_zoom_pw_grouped(
             image if direct else spectrum, wl, idx0s, idx1s,
-            float(sigma), int(dr), screen=screen,
+            float(sigma), int(dr),
             with_grad=with_grad, direct=direct, uv_ks=uv_tp,
             interpret=interpret, col_groups=col_groups)
         if _uv or not with_grad:
@@ -858,8 +858,7 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
 
 def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
               continuity_dk=None, chunk=8, spectrum=None, zoom="auto",
-              rebase=True, return_absq=False, interpret=False,
-              screen=None):
+              rebase=True, return_absq=False, interpret=False):
     """Run a WFR sweep over candidate vectors `wlist` rebased to `kref`.
 
     Parameters
@@ -948,8 +947,7 @@ def wfr_sweep(image, wlist, kref, sigma, *, with_grad=False, with_w=True,
             best_absq, best_lockin, best_idx, best_grad = _wfr_sweep_zoom(
                 spectrum, jnp.asarray(wlist), jnp.asarray(plan[0]),
                 jnp.asarray(plan[1]), float(sigma), with_grad,
-                int(min(chunk, wlist.shape[0])), interpret=interpret,
-                screen=screen)
+                int(min(chunk, wlist.shape[0])), interpret=interpret)
         else:
             best_absq, best_lockin, best_idx, best_grad = \
                 _wfr_sweep_chunked(

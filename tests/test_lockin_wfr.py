@@ -308,141 +308,6 @@ def test_wfr4_zoom_matches_full_fft(small_lattice):
     assert np.quantile(dgrad, 0.99) < 5e-3
 
 
-def test_grouped_sweep_screening_equivalence():
-    """The screened grouped sweep (cheap column-subsampled candidate
-    flagging + restricted full-res tournament) equals the unscreened
-    kernel on a real lattice sweep: the lock-in amplitude envelope
-    varies on the sigma scale, far wider than the screen sampling gap,
-    so every per-pixel winner is flagged (interpret mode on CPU)."""
-    import jax
-    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
-    from pygpa_tpu.ops import wfr as W
-    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep_grouped
-
-    size = 128
-    r_k, theta = 0.1, 7.0
-    img = np.array(hexlattice_gen(r_k, theta, order=1, size=size,
-                                  kappa=1.001, psi=10.0,
-                                  dtype=np.float32))
-    ks = np.array(generate_ks(r_k, theta, kappa=1.001, psi=10.0))[:2]
-    knorms = np.linalg.norm(ks, axis=1)
-    sigma = int(np.ceil(1 / knorms.min()))
-    dr = 2 * sigma
-    kw = knorms.mean() / 2.5
-    kstep = kw / 2
-    wlists = []
-    for pk in ks:
-        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
-        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
-        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
-        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
-    pmin = min(w.shape[0] for w in wlists)
-    wlists = [w[:pmin] for w in wlists]
-    assert pmin >= 8   # below 8 candidates screening disables itself
-
-    img0 = jnp.asarray(img - img.mean())
-    spectrum = jnp.fft.fft2(img0)
-    plans = [W._plan_zoom((size, size), w, float(sigma))
-             for w in wlists]
-    assert all(p is not None for p in plans)
-    n = m = size
-    rdt = jnp.float32
-    scale = jnp.asarray(1.0 / (n * m), rdt)
-    idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
-    idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
-    wl = jnp.asarray(np.stack(wlists))
-    S = jax.vmap(lambda i0, i1: jnp.take(
-        jnp.take(spectrum, i0, axis=0), i1, axis=1))(idx0s, idx1s)
-    A0c, A0s = jax.vmap(lambda i: W._zoom_basis(n, i, rdt))(idx0s)
-    A1c, A1s = jax.vmap(lambda i: W._zoom_basis(m, i, rdt))(idx1s)
-    f0 = jnp.where(idx0s < n // 2 + n % 2, idx0s,
-                   idx0s - n).astype(rdt) / n
-    f1 = jnp.where(idx1s < m // 2 + m % 2, idx1s,
-                   idx1s - m).astype(rdt) / m
-    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
-    wr = wl.astype(rdt)
-    gxs = jnp.exp(-s2 * (f0[:, None, :] + wr[:, :, 0:1]) ** 2)
-    gys = jnp.exp(-s2 * (f1[:, None, :] + wr[:, :, 1:2]) ** 2)
-
-    kw_args = dict(dr=int(dr), precision=jax.lax.Precision.HIGH,
-                   interpret=True)
-    ph0, w0 = fused_zoom_sweep_grouped(
-        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
-        screen=0, **kw_args)
-    ph1, w1 = fused_zoom_sweep_grouped(
-        S.real * scale, S.imag * scale, gxs, gys, A0c, A0s, A1c, A1s,
-        screen=4, **kw_args)
-    dphi = np.abs((np.asarray(ph1 - ph0) + np.pi) % (2 * np.pi)
-                  - np.pi)
-    assert (dphi > 1e-3).mean() < 1e-4
-    assert np.allclose(np.asarray(w1), np.asarray(w0), rtol=1e-4,
-                       atol=1e-7)
-
-
-def test_single_sweep_screening_equivalence():
-    """Single-peak kernel with screening (la/lx scratch tournament,
-    pass-B hi*hi recompute) matches the unscreened path bit-for-bit on
-    a lattice sweep, on both the plain and the gradient-emitting
-    entries (interpret mode on CPU)."""
-    import jax
-    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
-    from pygpa_tpu.ops import wfr as W
-    from pygpa_tpu.ops.pallas_sweep import fused_zoom_sweep
-
-    size = 128
-    r_k, theta = 0.1, 7.0
-    img = np.array(hexlattice_gen(r_k, theta, order=2, size=size,
-                                  kappa=1.001, psi=10.0,
-                                  dtype=np.float32))
-    ks = np.array(generate_ks(r_k, theta, kappa=1.001, psi=10.0))[:3]
-    knorms = np.linalg.norm(ks, axis=1)
-    sigma = int(np.ceil(1 / knorms.min()))
-    pk = ks[0]
-    kw = knorms.mean() / 2.5
-    kstep = kw / 4
-    wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
-    wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
-    wx, wy = np.meshgrid(wxs, wys, indexing="ij")
-    wlist = np.stack([wx.ravel(), wy.ravel()], -1)
-    assert wlist.shape[0] >= 8
-
-    img0 = jnp.asarray(img - img.mean())
-    spectrum = jnp.fft.fft2(img0)
-    plan = W._plan_zoom((size, size), wlist, float(sigma))
-    assert plan is not None
-    n = m = size
-    rdt = jnp.float32
-    scale = jnp.asarray(1.0 / (n * m), rdt)
-    idx0, idx1 = jnp.asarray(plan[0]), jnp.asarray(plan[1])
-    S = jnp.take(jnp.take(spectrum, idx0, axis=0), idx1, axis=1)
-    A0c, A0s = W._zoom_basis(n, idx0, rdt)
-    A1c, A1s = W._zoom_basis(m, idx1, rdt)
-    f0 = jnp.where(idx0 < n // 2 + n % 2, idx0,
-                   idx0 - n).astype(rdt) / n
-    f1 = jnp.where(idx1 < m // 2 + m % 2, idx1,
-                   idx1 - m).astype(rdt) / m
-    s2 = jnp.asarray(2.0 * np.pi ** 2 * sigma ** 2, rdt)
-    wr = jnp.asarray(wlist, rdt)
-    gx = jnp.exp(-s2 * (f0[None, :] + wr[:, 0:1]) ** 2)
-    gy = jnp.exp(-s2 * (f1[None, :] + wr[:, 1:2]) ** 2)
-    tp = 2 * np.pi
-    gops = (-tp * f0[:, None] * S.imag * scale,
-            tp * f0[:, None] * S.real * scale,
-            -tp * f1[None, :] * A1s, tp * f1[None, :] * A1c)
-
-    kw_args = dict(precision=jax.lax.Precision.HIGH, interpret=True)
-    for extra in ({}, {"grad_ops": gops}):
-        o0 = fused_zoom_sweep(S.real * scale, S.imag * scale, gx, gy,
-                              A0c, A0s, A1c, A1s, screen=0,
-                              **extra, **kw_args)
-        o1 = fused_zoom_sweep(S.real * scale, S.imag * scale, gx, gy,
-                              A0c, A0s, A1c, A1s, screen=4,
-                              **extra, **kw_args)
-        for a, b in zip(o0, o1):
-            np.testing.assert_array_equal(np.asarray(a),
-                                          np.asarray(b))
-
-
 def test_plan_zoom_multi_unifies_window_shapes():
     """When per-peak passbands round to different window widths,
     _plan_zoom_multi re-plans every peak at the common maximum
@@ -528,7 +393,7 @@ def test_grouped_sweep_matches_oracle():
     dr = 12
     ph, w = fused_zoom_sweep_grouped(
         Srs, Sis, gxs, gys, A0c, A0s, A1c, A1s, dr=dr,
-        precision=jax.lax.Precision.HIGHEST, interpret=True, screen=0)
+        precision=jax.lax.Precision.HIGHEST, interpret=True)
     ph, w = np.asarray(ph), np.asarray(w)
     for g in range(G):
         ra = np.zeros((n, m))
@@ -559,7 +424,7 @@ def test_grouped_sweep_grad_matches_single():
     """The grouped multi-peak kernel's gradient path (emit_grad:
     winner analytic phase gradients per group) matches the single-peak
     fused kernel's gradient output per peak, at HIGH and HIGHEST
-    precision, with and without screening (interpret mode on CPU)."""
+    precision (interpret mode on CPU)."""
     import jax
     from pygpa_tpu.lattices import hexlattice_gen, generate_ks
     from pygpa_tpu.ops import wfr as W
@@ -615,34 +480,30 @@ def test_grouped_sweep_grad_matches_single():
                 A1c * tp * f1[:, None, :])
 
     for prec in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST):
-        for screen in (0, 4):
-            if screen and prec != jax.lax.Precision.HIGH:
-                continue
-            ph, w, ggx, ggy = fused_zoom_sweep_grouped(
-                S.real * scale, S.imag * scale, gxs, gys,
-                A0c, A0s, A1c, A1s, grad_ops,
-                dr=int(dr), precision=prec, interpret=True,
-                screen=screen)
-            for g in range(len(wlists)):
-                sg = (grad_ops[0][g], grad_ops[1][g],
-                      grad_ops[2][g], grad_ops[3][g])
-                out = fused_zoom_sweep(
-                    S.real[g] * scale, S.imag[g] * scale,
-                    gxs[g], gys[g], A0c[g], A0s[g], A1c[g], A1s[g],
-                    precision=prec, interpret=True, emit_dr=(dr,),
-                    grad_ops=sg, screen=0)
-                sgx, sgy, sph, sw = out[4], out[5], out[6], out[7]
-                dphi = np.abs((np.asarray(ph[g] - sph) + np.pi)
-                              % (2 * np.pi) - np.pi)
-                # winners agree except bf16 near-ties
-                agree = dphi < 1e-3
-                assert agree.mean() > 1 - 2e-4
-                np.testing.assert_allclose(
-                    np.asarray(ggx[g])[agree], np.asarray(sgx)[agree],
-                    rtol=2e-3, atol=2e-5)
-                np.testing.assert_allclose(
-                    np.asarray(ggy[g])[agree], np.asarray(sgy)[agree],
-                    rtol=2e-3, atol=2e-5)
+        ph, w, ggx, ggy = fused_zoom_sweep_grouped(
+            S.real * scale, S.imag * scale, gxs, gys,
+            A0c, A0s, A1c, A1s, grad_ops,
+            dr=int(dr), precision=prec, interpret=True)
+        for g in range(len(wlists)):
+            sg = (grad_ops[0][g], grad_ops[1][g],
+                  grad_ops[2][g], grad_ops[3][g])
+            out = fused_zoom_sweep(
+                S.real[g] * scale, S.imag[g] * scale,
+                gxs[g], gys[g], A0c[g], A0s[g], A1c[g], A1s[g],
+                precision=prec, interpret=True, emit_dr=(dr,),
+                grad_ops=sg)
+            sgx, sgy, sph, sw = out[4], out[5], out[6], out[7]
+            dphi = np.abs((np.asarray(ph[g] - sph) + np.pi)
+                          % (2 * np.pi) - np.pi)
+            # winners agree except bf16 near-ties
+            agree = dphi < 1e-3
+            assert agree.mean() > 1 - 2e-4
+            np.testing.assert_allclose(
+                np.asarray(ggx[g])[agree], np.asarray(sgx)[agree],
+                rtol=2e-3, atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(ggy[g])[agree], np.asarray(sgy)[agree],
+                rtol=2e-3, atol=2e-5)
 
 
 def test_phase_weight_multi_grad_matches_wfr_sweep():

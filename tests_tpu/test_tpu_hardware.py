@@ -307,43 +307,6 @@ def test_kernel_grad_onchip_vs_discrete():
     assert dl < 1e-3 * scale
 
 
-def test_screened_sweep_onchip_accuracy():
-    """Candidate screening (column-subsampled bf16 flagging +
-    restricted tournament) against the unscreened grouped kernel on a
-    real moire sweep: winner flips must stay at the near-tie level the
-    bf16 pass-A tournament already permits, weights within f32 noise."""
-    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
-    from pygpa_tpu.ops.wfr import wfr_sweep_phase_weight_multi
-    size = 1024
-    r_k, theta = 0.02, 5.0
-    img = hexlattice_gen(r_k, theta, order=2, size=size,
-                         kappa=1.005, psi=10.0, dtype=jnp.float32)
-    ks = np.asarray(generate_ks(r_k, theta, kappa=1.005, psi=10.0))[:3]
-    knorms = np.linalg.norm(ks, axis=1)
-    kw = knorms.mean() / 2.5
-    sig = int(np.ceil(1 / knorms.min()))
-    kstep = kw / 3
-    wlists = []
-    for pk in ks:
-        wxs = np.arange(pk[0] - kw, pk[0] + kw, kstep)
-        wys = np.arange(pk[1] - kw, pk[1] + kw, kstep)
-        wx, wy = np.meshgrid(wxs, wys, indexing="ij")
-        wlists.append(np.stack([wx.ravel(), wy.ravel()], -1))
-    dr = 2 * sig
-    img0 = img - img.mean()
-    spec = jnp.fft.fft2(img0)
-    ph0, w0 = wfr_sweep_phase_weight_multi(img0, wlists, sig, dr,
-                                           spectrum=spec, screen=0)
-    ph1, w1 = wfr_sweep_phase_weight_multi(img0, wlists, sig, dr,
-                                           spectrum=spec, screen=4)
-    dphi = jnp.abs(jnp.mod(ph1 - ph0 + jnp.pi, 2 * jnp.pi) - jnp.pi)
-    flips = float((dphi > 1e-3).mean().astype(jnp.float32))
-    assert flips < 1e-3
-    rw = jnp.max(jnp.abs(w1 - w0)
-                 / (jnp.abs(w0) + 1e-12)).astype(jnp.float32)
-    assert float(rw) < 1e-2
-
-
 def test_uv_emission_onchip_matches_prologue():
     """The fused reconstruction-prologue emission (uv_ks path: wrapped
     diffs + per-pixel weighted lstsq inside the sweep launch) matches
