@@ -73,6 +73,12 @@ def _apply_q(p, WWx, WWy):
 
 _JACOBI_OMEGA = 0.8   # damped-Jacobi factor (2D optimum 4/5)
 
+# V-cycle restriction/upsample row-axis strategy: "reshape" (sublane
+# reshape forms, default) or "matmul" (row-side matmuls). Both are the
+# same arithmetic; the switches exist for on-chip A/B.
+_RESTRICT_ROWS = "reshape"
+_UPSAMPLE_ROWS = "reshape"
+
 
 def _mask_last(a, axis):
     """Zero the last slice along `axis` (fused iota compare)."""
@@ -388,11 +394,21 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
     dyp = _pad_last(dy, -2) if dy.shape[-2] == n - 1 else dy
 
     def block_mean(a, rows, cols, c):
-        # both axes as averaging matmuls: lane-splitting reshape
-        # reductions relayout (~90 ms per V-cycle at 4096^2 measured);
-        # the MXU does the same sums in <1 ms
+        # column (LANE) axis as an averaging matmul: lane-splitting
+        # reshape reductions relayout (~90 ms per V-cycle at 4096^2
+        # measured); the MXU does the same sums in <1 ms. The row
+        # (SUBLANE) axis reduces by plain reshape-mean — no lane
+        # relayout, and it cuts the restriction's MXU work ~20x (the
+        # row-side matmul contracted the FINE length: 137 GFLOP/plane
+        # at 4096^2 vs 7 for the lane side). Under GSPMD the sublane
+        # reshape stays row-sharded when rows*c divides evenly per
+        # device (the meshes used keep power-of-two rows).
         a = a[..., : rows * c, : cols * c]
-        L = _avg_right(rows * c, rows, c, dt).T
+        if _RESTRICT_ROWS == "reshape":
+            a = a.reshape(a.shape[:-2] + (rows, c, cols * c)).mean(-2)
+            L = None
+        else:
+            L = _avg_right(rows * c, rows, c, dt).T
         R = _avg_right(cols * c, cols, c, dt)
         return _sep2(a, L, R)
 
@@ -413,9 +429,39 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
         return dxc, dyc, wc
 
     def upsample(phi, nc, mc):
-        L = _resize_right(phi.shape[-2], nc, dt).T
-        R = _resize_right(phi.shape[-1], mc, dt)
-        return _sep2(phi, L, R)
+        rin = phi.shape[-2]
+        if (_UPSAMPLE_ROWS == "reshape" and nc % rin == 0
+                and nc // rin > 1):
+            # integer-factor row (SUBLANE) upsample as a shifted-plane
+            # interleave: out[c*i + j] = (1-t_j) phi[lo] + t_j phi[lo+1]
+            # with the half-pixel offsets o_j = (j+.5)/c - .5 — exactly
+            # _resize_right's samples (edge rows clamp, where both taps
+            # coincide). The stack/reshape only splits the sublane
+            # axis, so no lane relayout and ~20x less MXU work than the
+            # row-side interpolation matmul.
+            cfac = nc // rin
+            prev = jnp.concatenate([phi[..., :1, :], phi[..., :-1, :]],
+                                   axis=-2)
+            nxt = jnp.concatenate([phi[..., 1:, :], phi[..., -1:, :]],
+                                  axis=-2)
+            pieces = []
+            for j in range(cfac):
+                o = (j + 0.5) / cfac - 0.5
+                if o < 0:
+                    t = jnp.asarray(1.0 + o, dt)
+                    pj = (1 - t) * prev + t * phi
+                else:
+                    t = jnp.asarray(o, dt)
+                    pj = (1 - t) * phi + t * nxt
+                pieces.append(pj)
+            up = jnp.stack(pieces, axis=-2)
+            phi = up.reshape(phi.shape[:-2]
+                             + (rin * cfac, phi.shape[-1]))
+        elif rin != nc:
+            phi = _sep2(phi, _resize_right(rin, nc, dt).T, None)
+        R = _resize_right(phi.shape[-1], mc, dt) \
+            if phi.shape[-1] != mc else None
+        return _sep2(phi, None, R)
 
     phi = None
     for c, iters in schedule:
