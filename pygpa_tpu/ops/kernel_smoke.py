@@ -146,6 +146,21 @@ def run_kernel_smoke(verbose=False):
                                atol=1e-3)
     log("dct ok")
 
+    # --- fused V-branch unwrap stencil kernels ---
+    from .pallas_vcycle import presmooth, applyq
+    from .pallas_vcycle import supported as vc_supported
+    nv, mv = 128, 128
+    assert vc_supported(nv, mv, 4)
+    rng = np.random.default_rng(1)
+    phi = jnp.asarray(rng.standard_normal((nv, mv)).astype(np.float32))
+    wv = jnp.asarray((0.1 + rng.random((nv, mv))).astype(np.float32))
+    dxs = jnp.asarray(rng.standard_normal((nv, mv)).astype(np.float32))
+    out = presmooth(phi, dxs, dxs, wv, 4, 0.8, interpret=True)
+    _check("vcycle presmooth", *out)
+    assert out[3].shape == (nv // 4, mv)
+    _check("vcycle applyq", applyq(phi, wv, interpret=True))
+    log("vcycle ok")
+
     # --- unit-cell expand + drizzle kernels ---
     from .pallas_expand import expand_cell
     from .pallas_drizzle import drizzle

@@ -79,6 +79,26 @@ _JACOBI_OMEGA = 0.8   # damped-Jacobi factor (2D optimum 4/5)
 _RESTRICT_ROWS = "reshape"
 _UPSAMPLE_ROWS = "reshape"
 
+# Fused V-branch stencil kernels (ops/pallas_vcycle): "auto" = on for
+# f32 TPU runs (the XLA roll stencils cost ~5x HBM speed-of-light at
+# 4096^2), True = force (interpret mode off-TPU, for tests), False =
+# off. The distributed path (precond_factory) always keeps the XLA
+# forms — their rolls lower to halo collectives under GSPMD.
+_PALLAS_VCYCLE = "auto"
+
+
+def _vcycle_kernel_ok(shape, dtype, weight, precond_factory, cr):
+    from ..ops import pallas_vcycle
+    if _PALLAS_VCYCLE is False or weight is None \
+            or precond_factory is not None:
+        return False
+    if not pallas_vcycle.supported(*shape, cr):
+        return False
+    if _PALLAS_VCYCLE == "auto":
+        return (jax.default_backend() == "tpu"
+                and dtype == jnp.float32)
+    return True
+
 
 def _mask_last(a, axis):
     """Zero the last slice along `axis` (fused iota compare)."""
@@ -474,9 +494,6 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                                 pre, aligned=True)
             continue
         phi = upsample(phi, nc, mc)
-        # residual gradients are small and unwrapped by construction
-        rdx = dxc - _mask_last(jnp.roll(phi, -1, axis=-1) - phi, -1)
-        rdy = dyc - _mask_last(jnp.roll(phi, -1, axis=-2) - phi, -2)
         if isinstance(iters, str):
             if iters not in ("v", "vv"):
                 raise ValueError(
@@ -493,21 +510,50 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             # coarse revisit is what fixes it. "vv" runs a second
             # correct+smooth round on the updated residual.
             rounds = 2 if iters == "vv" else 1
-            rk, WWx, WWy = _residual_aligned(rdx, rdy, wc)
-            Dinv = _jacobi_dinv_aligned(WWx, WWy)
-            d = rk * Dinv
-            r = rk - _apply_q_aligned(d, WWx, WWy)
             cv = int(v_coarse_mult) * int(c)
+            use_kernel = _vcycle_kernel_ok((nc, mc), dt, wc,
+                                           precond_factory, cv)
+            if use_kernel:
+                # whole pre-smooth chain (residual gradients, weights,
+                # residual, Jacobi diag, d, r) in ONE image pass, plus
+                # the restriction's sublane half (rrow)
+                from ..ops import pallas_vcycle
+                r, d, Dinv, rrow = pallas_vcycle.presmooth(
+                    phi, dxc, dyc, wc, cv, _JACOBI_OMEGA)
+                WWx = WWy = None
+            else:
+                rdx = dxc - _mask_last(jnp.roll(phi, -1, axis=-1)
+                                       - phi, -1)
+                rdy = dyc - _mask_last(jnp.roll(phi, -1, axis=-2)
+                                       - phi, -2)
+                rk, WWx, WWy = _residual_aligned(rdx, rdy, wc)
+                Dinv = _jacobi_dinv_aligned(WWx, WWy)
+                d = rk * Dinv
+                r = rk - _apply_q_aligned(d, WWx, WWy)
+                rrow = None
+
+            def apply_q(p):
+                if use_kernel:
+                    from ..ops import pallas_vcycle
+                    return pallas_vcycle.applyq(p, wc)
+                return _apply_q_aligned(p, WWx, WWy)
+
             dxv, dyv, wv = level_data(cv)
             _, WWxv, WWyv = _residual_aligned(dxv, dyv, wv)
             prev = precond_factory((n // cv, m // cv)) \
                 if precond_factory else None
             for j in range(rounds):
-                r2c = block_mean(r, n // cv, m // cv, cv)
+                if j == 0 and rrow is not None:
+                    # finish the kernel's row-averaged restriction
+                    # with the lane-averaging matmul
+                    r2c = _sep2(rrow, None,
+                                _avg_right(mc, mc // cv, cv, dt))
+                else:
+                    r2c = block_mean(r, n // cv, m // cv, cv)
                 dcor, _ = _cg_unwrap(r2c, WWxv, WWyv, int(kmax),
                                      precision, prev, aligned=True)
                 dcu = upsample(dcor, nc, mc)
-                q = _apply_q_aligned(dcu, WWx, WWy)
+                q = apply_q(dcu)
                 num = jnp.vdot(r, dcu).real.astype(dt)
                 den = jnp.vdot(dcu, q).real.astype(dt)
                 alpha = jnp.where(
@@ -517,9 +563,12 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                 s = r * Dinv
                 d = d + s
                 if j < rounds - 1:
-                    r = r - _apply_q_aligned(s, WWx, WWy)
+                    r = r - apply_q(s)
             phi = phi + d
             continue
+        # residual gradients are small and unwrapped by construction
+        rdx = dxc - _mask_last(jnp.roll(phi, -1, axis=-1) - phi, -1)
+        rdy = dyc - _mask_last(jnp.roll(phi, -1, axis=-2) - phi, -2)
         if iters > 0:
             rk, WWx, WWy = _residual_aligned(rdx, rdy, wc)
             dphi, _ = _cg_unwrap(rk, WWx, WWy, int(iters), precision,
