@@ -55,20 +55,26 @@ def supported(n, m, cr=1):
             and _ROWS % max(int(cr), 1) == 0)
 
 
+_HALO = 8   # Mosaic requires sublane block sizes divisible by 8
+
+
 def _halo_specs(n, m, R, count):
-    """(center, prev2, next2) BlockSpec triplets for `count` inputs.
-    prev2/next2 are the 2-row strips just above/below the center
-    strip, with modularly wrapping index maps (the aligned stencils
-    are cyclic — see module docstring)."""
-    nb2 = n // 2
+    """(center, prev8, next8) BlockSpec triplets for `count` inputs.
+    prev8/next8 are the 8-row strips just above/below the center strip
+    (only their outermost 2 rows are consumed — 8 is the Mosaic
+    sublane-divisibility minimum), with modularly wrapping index maps
+    (the aligned stencils are cyclic — see module docstring)."""
+    nb = n // _HALO
     specs = []
     for _ in range(count):
         specs += [
             pl.BlockSpec((R, m), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, m), lambda i: ((i * (R // 2) - 1) % nb2, 0),
+            pl.BlockSpec((_HALO, m),
+                         lambda i: ((i * (R // _HALO) - 1) % nb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, m), lambda i: (((i + 1) * (R // 2)) % nb2, 0),
+            pl.BlockSpec((_HALO, m),
+                         lambda i: (((i + 1) * (R // _HALO)) % nb, 0),
                          memory_space=pltpu.VMEM),
         ]
     return specs
@@ -76,8 +82,9 @@ def _halo_specs(n, m, R, count):
 
 def _ext(c, p, nx):
     """(R+4, m) extended strip: rows [i*R-2, i*R+R+2) of the cyclic
-    image."""
-    return jnp.concatenate([p[:], c[:], nx[:]], axis=0)
+    image (the halo refs carry 8 rows; only the 2 adjacent ones are
+    used)."""
+    return jnp.concatenate([p[_HALO - 2:], c[:], nx[:2]], axis=0)
 
 
 def _dn(a):
