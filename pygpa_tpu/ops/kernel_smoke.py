@@ -161,6 +161,14 @@ def run_kernel_smoke(verbose=False):
     _check("vcycle applyq", applyq(phi, wv, interpret=True))
     log("vcycle ok")
 
+    # --- whole-VMEM coarse-level CG kernel ---
+    from .pallas_cg import cg_poisson
+    from .pallas_cg import supported as cg_supported
+    assert cg_supported(nv, mv)
+    wwx = wv * wv
+    _check("cg poisson", cg_poisson(phi, wwx, wwx, 3, interpret=True))
+    log("cg ok")
+
     # --- unit-cell expand + drizzle kernels ---
     from .pallas_expand import expand_cell
     from .pallas_drizzle import drizzle

@@ -100,6 +100,27 @@ def _vcycle_kernel_ok(shape, dtype, weight, precond_factory, cr):
     return True
 
 
+# Whole-VMEM coarse-level CG kernel (ops/pallas_cg): same tri-state
+# flag semantics as _PALLAS_VCYCLE. Used for the multigrid coarse
+# solves (aligned forms, default DCT preconditioner) at sizes where a
+# full plane fits in VMEM and both axes admit the direct DCT digit
+# factorization; the reference-exact phase_unwrap/_prediff path
+# (aligned=False, early-stop while_loop) is never rerouted.
+_PALLAS_CG = "auto"
+
+
+def _cg_kernel_ok(shape, dtype):
+    from ..ops import pallas_cg
+    if _PALLAS_CG is False or len(shape) != 2:
+        return False
+    if not pallas_cg.supported(*shape):
+        return False
+    if _PALLAS_CG == "auto":
+        return (jax.default_backend() == "tpu"
+                and dtype == jnp.float32)
+    return True
+
+
 def _mask_last(a, axis):
     """Zero the last slice along `axis` (fused iota compare)."""
     ax = axis % a.ndim
@@ -171,6 +192,15 @@ def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None,
     all_to_all DCT."""
     if precision is None:
         precision = jax.lax.Precision.HIGH
+    if (aligned and precond is None and kmax >= 1
+            and _cg_kernel_ok(rk0.shape, rk0.dtype)):
+        # whole-VMEM fixed-iteration CG (ops/pallas_cg): one kernel
+        # launch for the whole solve; the guarded coefficients make
+        # post-convergence iterations no-ops, so skipping the early
+        # stop returns the same solution
+        from ..ops import pallas_cg
+        phi = pallas_cg.cg_poisson(rk0, WWx, WWy, kmax, precision)
+        return phi, jnp.asarray(kmax, jnp.int32)
     with mxu_fft_precision(precision):
         return _cg_unwrap_body(rk0, WWx, WWy, kmax, precond, aligned)
 
