@@ -9,6 +9,16 @@ bench.py at the repo root remains the headline single-line metric
  3. 2048^2 distorted lattice: weighted unwrap + Lawler-Fujita
  4. 4096^2 TBG moire: unit-cell averaging + full-image reconstruction
  5. 8k^2 mosaic as 4x(4096^2) tiles: batched property extraction
+
+Every config carries a HARD accuracy gate (same discipline as
+bench.py's headline ratchets): each fixture embeds a known truth —
+zero displacement, an analytic plane, a perfect periodic lattice, an
+affine distortion with known global properties — and the config
+asserts the relevant error bound BEFORE printing a number, so no
+config can trade accuracy for speed silently. Bounds are on-chip
+measured values (see git history) with ~2x slack. Set
+PYGPA_BENCH_NOGATE=1 to report the measured values without asserting
+(calibration mode).
 """
 import argparse
 import json
@@ -38,6 +48,21 @@ def _timeit(fn, *args, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+def _f(x):
+    """Tunnel-safe scalar fetch (cast to f32 on device first)."""
+    import jax.numpy as jnp
+    return float(jnp.asarray(x).astype(jnp.float32))
+
+
+def _interior_umax(u, ks, mult=8):
+    """max |u| over the rim-trimmed interior of a displacement field
+    recovered from a ZERO-displacement fixture (the fixture's ks match
+    the rendered lattice exactly, so |u| IS the pipeline error)."""
+    import jax.numpy as jnp
+    b = mult * int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
+    return _f(jnp.max(jnp.abs(u[..., b:-b, b:-b])))
+
+
 def config1():
     import jax.numpy as jnp
     from pygpa_tpu.lattices import hexlattice_gen, generate_ks
@@ -48,6 +73,7 @@ def config1():
     fn = make_displacement_extractor((size, size), ks,
                                      unwrap_coarse=4)
     dt = _timeit(fn, img)
+    checks = {"u_err_interior_px": (_interior_umax(fn(img), ks), 0.02)}
     # single small dispatches are bound by the ~28 ms tunnel dispatch
     # floor, not device compute — config 1b (batched) is the
     # throughput number for this workload; the annotation rides the
@@ -55,7 +81,7 @@ def config1():
     return ("basic GPA + displacement field, 512^2 "
             "(single-dispatch: bound by the ~28 ms tunnel dispatch "
             "floor; see 1b for the batched throughput)",
-            size * size / 1e6 / dt)
+            size * size / 1e6 / dt, checks)
 
 def config1b():
     """Batched config 1: 16 images through one vmapped executable —
@@ -73,8 +99,11 @@ def config1b():
     fn = make_displacement_extractor((size, size), ks, unwrap_coarse=4)
     vfn = jax.jit(jax.vmap(fn))
     dt = _timeit(vfn, batch)
-    return "basic GPA + displacement field, 512^2 x16 batched", \
-        nb * size * size / 1e6 / dt
+    # rolled copies of a perfect lattice still embed zero displacement
+    checks = {"u_err_interior_px": (_interior_umax(vfn(batch), ks),
+                                    0.02)}
+    return ("basic GPA + displacement field, 512^2 x16 batched",
+            nb * size * size / 1e6 / dt, checks)
 
 
 def config2():
@@ -88,8 +117,10 @@ def config2():
     fn = make_displacement_extractor((size, size), ks,
                                      unwrap_coarse=4)
     dt = _timeit(fn, img)
-    return "WFR sweep pipeline, 1024^2 small-angle moire", \
-        size * size / 1e6 / dt
+    checks = {"u_err_interior_px": (_interior_umax(fn(img), ks, mult=2),
+                                    0.05)}
+    return ("WFR sweep pipeline, 1024^2 small-angle moire",
+            size * size / 1e6 / dt, checks)
 
 def config2g():
     """Adaptive-GPA property extraction from kernel-emitted WFR phase
@@ -103,9 +134,10 @@ def config2g():
     from pygpa_tpu.props.jacobians import calc_props_from_phasegradient
     size = 4096
     r_k = 0.02
-    img = hexlattice_gen(r_k, 5.0, order=2, size=size,
+    theta0 = 5.0
+    img = hexlattice_gen(r_k, theta0, order=2, size=size,
                          kappa=1.005, psi=10.0, dtype=jnp.float32)
-    ks = np.asarray(generate_ks(r_k, 5.0, kappa=1.005, psi=10.0))[:3]
+    ks = np.asarray(generate_ks(r_k, theta0, kappa=1.005, psi=10.0))[:3]
     knorms = np.linalg.norm(ks, axis=1)
     kw = knorms.mean() / 2.5
     sigma = int(np.ceil(1 / knorms.min()))
@@ -128,8 +160,25 @@ def config2g():
         return calc_props_from_phasegradient(kv, grads, weights, 1.0)
 
     dt = _timeit(step, img)
-    return "adaptive GPA props from phase gradients, 4096^2", \
-        size * size / 1e6 / dt
+    # the fixture's distortion is globally AFFINE (ks rendered with
+    # kappa/psi baked in, sweep krefs = those same ks), so every local
+    # property map must be spatially constant: props[0] is the local
+    # angle offset map (exactly theta_0 for an undistorted-in-moire-
+    # frame lattice) and props[3] the anisotropy magnitude (exactly 1)
+    from pygpa_tpu.props.jacobians import get_initial_props
+    props = step(img)
+    b = 2 * sigma
+    th = props[0][b:-b, b:-b]
+    ka = props[3][b:-b, b:-b]
+    _, expect_th, _ = get_initial_props(ks)
+    checks = {
+        "theta_err_interior_deg": (
+            _f(jnp.max(jnp.abs(th - jnp.float32(expect_th)))), 0.05),
+        "kappa_err_interior": (
+            _f(jnp.max(jnp.abs(ka - 1.0))), 0.01),
+    }
+    return ("adaptive GPA props from phase gradients, 4096^2",
+            size * size / 1e6 / dt, checks)
 
 
 def config3():
@@ -146,6 +195,8 @@ def config3():
                   np.zeros((size, size))]).astype(np.float32)
     img = hexlattice_gen(0.08, 5.0, order=2, size=size,
                          shift=u, dtype=jnp.float32)
+    clean = jnp.asarray(hexlattice_gen(0.08, 5.0, order=2, size=size,
+                                       dtype=jnp.float32))
     uj = jax.device_put(jnp.asarray(u))
     psi = jnp.asarray((0.05 * np.asarray(xp + yp)).astype(np.float32))
     w = jnp.abs(img)
@@ -162,8 +213,24 @@ def config3():
         return phi, rec
 
     dt = _timeit(step, img, uj, psi, w)
-    return "weighted unwrap + Lawler-Fujita (coarse inversion), 2048^2", \
-        size * size / 1e6 / dt
+    # truths: the unwrap input is an analytic PLANE (no wraps in its
+    # diffs), so phi must reproduce it up to the unwrap's free
+    # constant; the undistort inverts the exact u that rendered the
+    # image, so rec must reproduce the clean lattice up to B-spline
+    # interpolation error
+    phi, rec = step(img, uj, psi, w)
+    dphi = phi - psi
+    dphi = dphi - jnp.mean(dphi)
+    b = 32
+    rerr = (rec - clean)[b:-b, b:-b]
+    checks = {
+        "unwrap_plane_err_rad": (_f(jnp.max(jnp.abs(dphi))), 0.01),
+        "undistort_rel_rms": (
+            _f(jnp.sqrt(jnp.mean(rerr * rerr))
+               / jnp.sqrt(jnp.mean(clean * clean))), 0.05),
+    }
+    return ("weighted unwrap + Lawler-Fujita (coarse inversion), "
+            "2048^2", size * size / 1e6 / dt, checks)
 
 def config4():
     import jax
@@ -183,8 +250,17 @@ def config4():
         return rec
 
     dt = _timeit(step, img)
-    return "unit-cell average + reconstruction, 4096^2", \
-        size * size / 1e6 / dt
+    # the fixture is a PERFECT periodic lattice, so the average-cell
+    # reconstruction must reproduce it (interior; drizzle rim excluded)
+    rec = step(img)
+    b = 128
+    d = (rec - img)[b:-b, b:-b]
+    ref = img[b:-b, b:-b]
+    checks = {"ucell_roundtrip_rel_rms": (
+        _f(jnp.sqrt(jnp.mean(d * d)) / jnp.sqrt(jnp.mean(ref * ref))),
+        0.05)}
+    return ("unit-cell average + reconstruction, 4096^2",
+            size * size / 1e6 / dt, checks)
 
 def config5():
     import jax
@@ -209,8 +285,24 @@ def config5():
         return jax.lax.map(one, tiles)
 
     dt = _timeit(step, tiles, reps=2)
-    return "batched property extraction, 8k^2 mosaic (4 tiles)", \
-        4 * tile * tile / 1e6 / dt
+    # tile 0 is the unflipped perfect lattice: u == 0, so its local
+    # angle-offset map must be the constant theta_0 and the
+    # anisotropy magnitude exactly 1 (props are derivative-based, so
+    # this bounds the recovered u's GRADIENT error, complementing the
+    # |u| gates of configs 1/2)
+    from pygpa_tpu.props.jacobians import get_initial_props
+    props = step(tiles)
+    _, theta_0, _ = get_initial_props(ks)
+    b = 8 * int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
+    th = props[0, 0][b:-b, b:-b]
+    ka = props[0, 3][b:-b, b:-b]
+    checks = {
+        "theta_err_interior_deg": (
+            _f(jnp.max(jnp.abs(th - jnp.float32(theta_0)))), 0.05),
+        "kappa_err_interior": (_f(jnp.max(jnp.abs(ka - 1.0))), 0.01),
+    }
+    return ("batched property extraction, 8k^2 mosaic (4 tiles)",
+            4 * tile * tile / 1e6 / dt, checks)
 
 
 def config5f():
@@ -236,25 +328,47 @@ def config5f():
     fn = jax.jit(lambda J: iterate_J_leastsq(J, jnp.asarray(
         refest, jnp.float32)))
     dt = _timeit(fn, JacA0s, reps=2)
+    # the field is A0 + a 1e-3 perturbation, so every pixel's fitted
+    # (theta, psi, eps, xi) must stay near the unperturbed solution
+    # refest — a diverged or unconverged LM shows up as a large
+    # per-pixel angle deviation
+    X = fn(JacA0s)
+    checks = {"fit_theta_dev_deg": (
+        _f(jnp.max(jnp.abs(X[..., 0] - jnp.float32(float(refest[0]))))),
+        0.5)}
     # kfits/s: each "pixel" is a full two-start 60-iteration LM fit
     # (the reference analogue is one scipy least_squares call per
     # pixel through a dask gufunc, ~ms each on CPU)
     return ("Kerelsky J-field per-pixel LM fits, 128^2 (kfits/s)",
-            n * n / 1e3 / dt)
+            n * n / 1e3 / dt, checks)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", default="1,1b,2,2g,3,4,5,5f")
     args = p.parse_args()
+    nogate = bool(os.environ.get("PYGPA_BENCH_NOGATE"))
     fns = {"1": config1, "1b": config1b, "2": config2, "2g": config2g,
            "3": config3, "4": config4, "5": config5, "5f": config5f}
+    failed = []
     for c in args.configs.split(","):
-        name, val = fns[c]()
+        name, val, checks = fns[c]()
         unit = "kfits/s" if "kfits" in name else "Mpix/s"
-        print(json.dumps({"config": c, "metric": name,
-                          "value": round(val, 2), "unit": unit}),
-              flush=True)
+        rec = {"config": c, "metric": name, "value": round(val, 2),
+               "unit": unit}
+        bad = {k: (round(v, 6), bound) for k, (v, bound)
+               in checks.items() if not v < bound}
+        for k, (v, bound) in checks.items():
+            rec[k] = round(v, 6)
+            rec[f"gate_{k}"] = bound
+        if bad and not nogate:
+            rec["metric"] = "ACCURACY GATE FAILED: " + name
+            rec["value"] = 0.0
+            rec["failed_checks"] = bad
+            failed.append(c)
+        print(json.dumps(rec), flush=True)
+    if failed:
+        raise SystemExit(f"accuracy gates failed: configs {failed}")
 
 
 if __name__ == "__main__":

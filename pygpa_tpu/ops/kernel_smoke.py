@@ -84,6 +84,50 @@ def run_kernel_smoke(verbose=False):
     assert uv[0].shape == (2,) + img.shape and uv[2].shape == img.shape
     log("grouped uv ok")
 
+    # --- BANDED grouped sweep (the production default at 4096^2) ---
+    # at the 256^2 fixture above _plan_col_groups returns None (band ~
+    # union width), so the grouped launches above are all UNBANDED
+    # while production runs banded (_COL_GROUPS=True). This fixture is
+    # the smallest that activates banding (Wb < W1) and forces all
+    # three banded emission paths, so a signature/shape break
+    # localized to the banded branch of ops/pallas_sweep fails the
+    # CPU dryrun instead of surfacing in the on-chip bench.
+    assert wfr_mod._COL_GROUPS, \
+        "banded grouped sweep must be the production default"
+    imgb, ksb = _fixture(size=512, r_k=0.12, theta=5.0)
+    # banding constraints live entirely on the COLUMN axis, so a
+    # 128-row strip activates the same plan 4x cheaper in interpret
+    imgb = imgb[:128]
+    wlb = _wlists(ksb)
+    sigb = int(np.ceil(1 / np.linalg.norm(ksb, axis=1).min()))
+    gcb = 10.0   # tighter windows than the default cut, so the
+    # per-run band is genuinely narrower than the union window
+    plansb = wfr_mod._plan_zoom_multi(imgb.shape, wlb, float(sigb),
+                                      gauss_cut=gcb)
+    cgp = wfr_mod._plan_col_groups(wlb, plansb, imgb.shape[1],
+                                   float(sigb), gauss_cut=gcb)
+    assert cgp is not None and cgp[2] < plansb[0][1].shape[0], \
+        "banded smoke fixture no longer activates the col_groups " \
+        "planner — the banded kernel branch is untested"
+    phb, wtb = wfr_sweep_phase_weight_multi(imgb, wlb, sigb, dr,
+                                            gauss_cut=gcb,
+                                            interpret=True)
+    _check("banded grouped", phb, wtb)
+    log("banded grouped plain ok")
+
+    outb = wfr_sweep_phase_weight_multi(imgb, wlb, sigb, dr,
+                                        with_grad=True, krefs=ksb,
+                                        gauss_cut=gcb, interpret=True)
+    _check("banded grouped grad", *outb)
+    log("banded grouped grad ok")
+
+    uvb = wfr_sweep_uv_multi(imgb, wlb, sigb, dr, ksb, gauss_cut=gcb,
+                             interpret=True)
+    assert uvb is not None, "banded uv path unavailable in smoke"
+    _check("banded grouped uv", uvb[0][:, :, 1:], uvb[1][:, 1:, :],
+           uvb[2])
+    log("banded grouped uv ok")
+
     # --- single-peak sweep kernel ---
     g = wfr_sweep(img, wlists[0], ks[0], sigma, interpret=True)
     _check("single", np.abs(np.asarray(g["lockin"])), g["w"])

@@ -39,9 +39,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM state: ~6 live planes + 4 transform matrices; cap the plane
-# count so the kernel never outgrows the 100 MB scoped budget
-_MAX_SIDE = 2048
+# VMEM state: ~6 live planes + 4 transform matrices; cap the side so
+# the kernel never outgrows the 100 MB scoped budget. At 2048^2 f32
+# the 3 carry planes (48 MB) + zk/Qpk temporaries + the dense (n,n)/
+# (m,m) DCT matrix pairs already flirt with the limit, so the cap sits
+# at 1024 (production multigrid coarse grids are <= 1024^2; larger
+# grids take the pipelined XLA while_loop, which is competitive there
+# anyway).
+_MAX_SIDE = 1024
+
+# trace-time launch counter: lets tests assert the kernel path was
+# actually taken (a jit cache hit would silently skip it)
+_trace_count = 0
 
 
 def _interpret():
@@ -179,6 +188,14 @@ def cg_poisson(rk, WWx, WWy, kmax, precision=jax.lax.Precision.HIGHEST,
     Poisson system (aligned zero-tail WWx/WWy forms) entirely in VMEM.
     Drop-in for the solvers/unwrap._cg_unwrap loop at supported sizes
     (same guarded-coefficient arithmetic; fixed iteration count)."""
+    global _trace_count
+    _trace_count += 1
     if interpret is None:
         interpret = _interpret()
+    if (precision == jax.lax.Precision.HIGH
+            and rk.dtype != jnp.float32):
+        # the explicit bf16x3 HIGH emulation targets f32 operands; for
+        # f64 it would silently DROP precision while claiming HIGH —
+        # clamp to HIGHEST (mirrors pallas_dct2's internal clamp)
+        precision = jax.lax.Precision.HIGHEST
     return _cg_call(rk, WWx, WWy, int(kmax), precision, bool(interpret))

@@ -51,8 +51,13 @@ def _interpret():
 
 
 def supported(n, m, cr=1):
+    # the rrow restriction output block has _ROWS // cr sublanes and
+    # Mosaic requires sublane block sizes divisible by 8 (interpret
+    # mode does NOT check this) — oversized coarse factors must fall
+    # back to the XLA path instead of failing Mosaic compile on-chip
+    cr = max(int(cr), 1)
     return (n % _ROWS == 0 and m % 128 == 0 and n % 2 == 0
-            and _ROWS % max(int(cr), 1) == 0)
+            and _ROWS % cr == 0 and (_ROWS // cr) % 8 == 0)
 
 
 _HALO = 8   # Mosaic requires sublane block sizes divisible by 8

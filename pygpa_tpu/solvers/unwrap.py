@@ -73,12 +73,6 @@ def _apply_q(p, WWx, WWy):
 
 _JACOBI_OMEGA = 0.8   # damped-Jacobi factor (2D optimum 4/5)
 
-# V-cycle restriction/upsample row-axis strategy: "reshape" (sublane
-# reshape forms, default) or "matmul" (row-side matmuls). Both are the
-# same arithmetic; the switches exist for on-chip A/B.
-_RESTRICT_ROWS = "reshape"
-_UPSAMPLE_ROWS = "reshape"
-
 # Fused V-branch stencil kernels (ops/pallas_vcycle): "auto" = on for
 # f32 TPU runs (the XLA roll stencils cost ~5x HBM speed-of-light at
 # 4096^2), True = force (interpret mode off-TPU, for tests), False =
@@ -173,8 +167,6 @@ def _jacobi_dinv_aligned(WWx, WWy, omega=_JACOBI_OMEGA):
                      omega / jnp.where(D != 0, D, 1.0), 0.0)
 
 
-@partial(jax.jit, static_argnames=("kmax", "precision", "precond",
-                                   "aligned"))
 def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None,
                aligned=False):
     """PCG loop shared by phase_unwrap and phase_unwrap_prediff
@@ -189,11 +181,26 @@ def _cg_unwrap(rk0, WWx, WWy, kmax, precision=None, precond=None,
     `precond` overrides the unweighted-Poisson DCT preconditioner
     (a callable rk -> zk, hashable/static) — used by the row-sharded
     distributed solver (parallel/unwrap.py) to substitute the pencil
-    all_to_all DCT."""
+    all_to_all DCT.
+
+    The _PALLAS_CG gate is resolved HERE, outside the jitted inner
+    function, and forwarded as a static argument: flag flips change
+    the jit cache key and reliably retrace (a gate read inside the
+    traced body would be baked at first trace and silently ignored on
+    cache hits)."""
+    use_kernel = bool(aligned and precond is None and int(kmax) >= 1
+                      and _cg_kernel_ok(rk0.shape, rk0.dtype))
+    return _cg_unwrap_jit(rk0, WWx, WWy, int(kmax), precision, precond,
+                          aligned, use_kernel)
+
+
+@partial(jax.jit, static_argnames=("kmax", "precision", "precond",
+                                   "aligned", "use_kernel"))
+def _cg_unwrap_jit(rk0, WWx, WWy, kmax, precision=None, precond=None,
+                   aligned=False, use_kernel=False):
     if precision is None:
         precision = jax.lax.Precision.HIGH
-    if (aligned and precond is None and kmax >= 1
-            and _cg_kernel_ok(rk0.shape, rk0.dtype)):
+    if use_kernel:
         # whole-VMEM fixed-iteration CG (ops/pallas_cg): one kernel
         # launch for the whole solve; the guarded coefficients make
         # post-convergence iterations no-ops, so skipping the early
@@ -454,13 +461,9 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
         # reshape stays row-sharded when rows*c divides evenly per
         # device (the meshes used keep power-of-two rows).
         a = a[..., : rows * c, : cols * c]
-        if _RESTRICT_ROWS == "reshape":
-            a = a.reshape(a.shape[:-2] + (rows, c, cols * c)).mean(-2)
-            L = None
-        else:
-            L = _avg_right(rows * c, rows, c, dt).T
+        a = a.reshape(a.shape[:-2] + (rows, c, cols * c)).mean(-2)
         R = _avg_right(cols * c, cols, c, dt)
-        return _sep2(a, L, R)
+        return _sep2(a, None, R)
 
     def level_data(c):
         if c == 1:
@@ -480,8 +483,7 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
 
     def upsample(phi, nc, mc):
         rin = phi.shape[-2]
-        if (_UPSAMPLE_ROWS == "reshape" and nc % rin == 0
-                and nc // rin > 1):
+        if nc % rin == 0 and nc // rin > 1:
             # integer-factor row (SUBLANE) upsample as a shifted-plane
             # interleave: out[c*i + j] = (1-t_j) phi[lo] + t_j phi[lo+1]
             # with the half-pixel offsets o_j = (j+.5)/c - .5 — exactly

@@ -79,11 +79,33 @@ def test_mg_unwrap_cg_kernel_path(monkeypatch):
     ref = run()
     monkeypatch.setattr(U, "_PALLAS_VCYCLE", True)
     monkeypatch.setattr(U, "_PALLAS_CG", True)
+    before = C._trace_count
     got = run()
+    # the gate is resolved OUTSIDE the jitted CG (static arg), so the
+    # flag flip must force a fresh trace that actually launches the
+    # kernel — a jit cache hit on the XLA trace would compare the
+    # reference against itself
+    assert C._trace_count > before, \
+        "forced _PALLAS_CG run never invoked cg_poisson"
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-9)
+
+
+def test_cg_f64_high_clamps_to_highest(system):
+    """precision=HIGH (the production mg default) on f64 operands must
+    not silently drop to the f32-targeted bf16x3 emulation."""
+    rk, WWx, WWy = system
+    ref, k = U._cg_unwrap(rk, WWx, WWy, 4,
+                          jax.lax.Precision.HIGHEST, None, True)
+    assert int(k) == 4
+    got = C.cg_poisson(rk, WWx, WWy, 4,
+                       precision=jax.lax.Precision.HIGH,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-12)
 
 
 def test_cg_gate():
     assert not U._cg_kernel_ok((100, 256), jnp.float32)
     assert not U._cg_kernel_ok((4096, 4096), jnp.float32)  # > VMEM cap
+    assert not U._cg_kernel_ok((2048, 2048), jnp.float32)  # > VMEM cap

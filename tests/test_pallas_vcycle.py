@@ -112,3 +112,15 @@ def test_kernel_gate_respects_distributed_path():
                                    None, 4)
     assert not U._vcycle_kernel_ok((100, 256), jnp.float32,
                                    jnp.ones((100, 256)), None, 4)
+
+
+def test_supported_rejects_oversized_coarse_factors():
+    """The rrow restriction block has _ROWS // cr sublanes; Mosaic
+    requires sublane block sizes divisible by 8 (interpret mode does
+    NOT check this), so cr > 8 must route to the XLA fallback instead
+    of failing Mosaic compile on-chip."""
+    from pygpa_tpu.ops import pallas_vcycle as V
+    assert V.supported(1024, 1024, 4)
+    assert V.supported(1024, 1024, 8)
+    for cr in (16, 32, 64):
+        assert not V.supported(1024, 1024, cr)
