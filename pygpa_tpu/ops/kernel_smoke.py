@@ -61,6 +61,11 @@ def run_kernel_smoke(verbose=False):
     sigma = int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
     dr = 2
 
+    # the 4x4 banks below must activate the two-level refinement
+    # planner, so every grouped launch in this section traces the
+    # refined (conditional fine-candidate) pass-A branch
+    assert wfr_mod._REFINE and wfr_mod._plan_refine(wlists) is not None
+
     # --- grouped sweep kernel (the production pipeline path) ---
     ph, wt = wfr_sweep_phase_weight_multi(img, wlists, sigma, dr,
                                           interpret=True)

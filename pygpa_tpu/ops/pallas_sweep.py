@@ -368,9 +368,9 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                     gxo_ref, gyo_ref, ux_ref, uy_ref, wn_ref,
                     t_ref, tx_ref, oa_ref, or_ref, oi_ref,
                     ro_ref, ph_scr, wt_scr, cc_scr,
-                    rc_scr, *,
+                    rc_scr, la_scr, ix_scr, cx_scr, *,
                     precision, emit_dr, emit_grad, uv_ks,
-                    col_groups):
+                    col_groups, refine):
     """All G Bragg peaks of a pipeline sweep in ONE launch (emit-only:
     the per-peak winner phase and rim-masked weight planes, exactly
     what make_displacement_extractor consumes — plus, with emit_grad,
@@ -541,33 +541,100 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
                         sel, (mi * mxr - mr * mxi) / den, gxo_ref[g])
                     gyo_ref[g] = jnp.where(
                         sel, (mi * myr - mr * myi) / den, gyo_ref[g])
-            mall_r = raw(thi, b1r_hi)
-            mall_i = raw(thi, b1i_hi)
-            mr0 = mall_r[:R]
-            mi0 = mall_i[:R]
-            la = mr0 * mr0 + mi0 * mi0
-            lx = jnp.zeros(la.shape, jnp.int32)
-            for i in range(1, P):
-                mr = mall_r[i * R:(i + 1) * R]
-                mi = mall_i[i * R:(i + 1) * R]
-                absq = mr * mr + mi * mi
-                sel = absq > la
-                la = jnp.where(sel, absq, la)
-                lx = jnp.where(sel, i, lx)
+            if refine is None:
+                mall_r = raw(thi, b1r_hi)
+                mall_i = raw(thi, b1i_hi)
+                mr0 = mall_r[:R]
+                mi0 = mall_i[:R]
+                la = mr0 * mr0 + mi0 * mi0
+                lx = jnp.zeros(la.shape, jnp.int32)
+                for i in range(1, P):
+                    mr = mall_r[i * R:(i + 1) * R]
+                    mi = mall_i[i * R:(i + 1) * R]
+                    absq = mr * mr + mi * mi
+                    sel = absq > la
+                    la = jnp.where(sel, absq, la)
+                    lx = jnp.where(sel, i, lx)
+            else:
+                # TWO-LEVEL pass A (the wfr4 continuity idea of the
+                # reference, geometric_phase_analysis.py:839-862,
+                # applied as a work reducer in k-space): evaluate the
+                # stride-2 COARSE subgrid unconditionally (one batched
+                # dot), then evaluate each fine candidate ONLY in
+                # tiles where some pixel's coarse winner is
+                # Chebyshev-adjacent to it, and let those pixels
+                # tournament it against the running best. The true
+                # winner survives whenever the coarse argmax lands on
+                # a coarse cell adjacent to it — guaranteed for the
+                # smooth single-peak |M|(w) landscapes the sweep
+                # scans, and accuracy-gated e2e like the bf16 pass-A
+                # near-ties (flip rate pinned on-chip). The conditional
+                # tournament state lives in scratch refs (pl.when
+                # blocks cannot return values).
+                coarse_ids, neigh = refine[g]
+                tcat = jnp.concatenate(
+                    [thi[i * R:(i + 1) * R] for i in coarse_ids],
+                    axis=0)
+                mc_r = raw(tcat, b1r_hi)
+                mc_i = raw(tcat, b1i_hi)
+                mr0 = mc_r[:R]
+                mi0 = mc_i[:R]
+                la = mr0 * mr0 + mi0 * mi0
+                lx = jnp.full(la.shape, coarse_ids[0], jnp.int32)
+                for pos in range(1, len(coarse_ids)):
+                    mr = mc_r[pos * R:(pos + 1) * R]
+                    mi = mc_i[pos * R:(pos + 1) * R]
+                    absq = mr * mr + mi * mi
+                    sel = absq > la
+                    la = jnp.where(sel, absq, la)
+                    lx = jnp.where(sel, coarse_ids[pos], lx)
+                la_scr[:] = la
+                ix_scr[:] = lx
+                cx_scr[:] = lx
+                for j in range(P):
+                    adj = neigh[j]
+                    if adj is None:      # coarse candidate
+                        continue
+                    cxv = cx_scr[:]
+                    selv = cxv == adj[0]
+                    for c in adj[1:]:
+                        selv = selv | (cxv == c)
+
+                    @pl.when(jnp.any(selv))
+                    def _refine(j=j, selv=selv):
+                        slj = slice(j * R, (j + 1) * R)
+                        mr = raw(thi[slj], b1r_hi)
+                        mi = raw(thi[slj], b1i_hi)
+                        absq = mr * mr + mi * mi
+                        lav = la_scr[:]
+                        s2 = selv & (absq > lav)
+                        la_scr[:] = jnp.where(s2, absq, lav)
+                        ix_scr[:] = jnp.where(s2, j, ix_scr[:])
+                lx = ix_scr[:]
             # pass B: exact bf16x3 for the winners only. The hi*hi
             # term is pass A's mall_r/mall_i slice (bitwise the
             # same dot); the two cross terms thi@blo + tlo@bhi
             # collapse into ONE deep dot against [b_lo | b_hi]
             # thanks to the [hi | lo] scratch layout — 2 MXU calls
-            # per winner instead of 6.
+            # per winner instead of 6. (On the refined path the
+            # winner's hi*hi plane may not have been materialized —
+            # conditionally-evaluated candidates live only inside
+            # their pl.when blocks — so it is recomputed: 3 MXU
+            # calls per winner, still ~P/10 of the old pass B.)
             for i in range(P):
                 sel = lx == i
 
                 @pl.when(jnp.any(sel))
                 def _recompute(i=i, sel=sel):
                     sl = slice(i * R, (i + 1) * R)
-                    mr = mall_r[sl] + raw(t[sl], bcat_r)
-                    mi = mall_i[sl] + raw(t[sl], bcat_i)
+                    if refine is None:
+                        hh_r = mall_r[sl]
+                        hh_i = mall_i[sl]
+                    else:
+                        hh_r = raw(thi[sl], b1r_hi)
+                        hh_i = raw(thi[sl], b1i_hi)
+                    mr = hh_r + raw(t[sl], bcat_r)
+                    mi = hh_i + raw(t[sl], bcat_i)
                     oa_ref[:] = jnp.where(sel, mr * mr + mi * mi,
                                           oa_ref[:])
                     or_ref[:] = jnp.where(sel, mr, or_ref[:])
@@ -733,12 +800,12 @@ def _grouped_kernel(sr_ref, si_ref, s2r_ref, s2i_ref, gx_ref, gy_ref,
 
 @partial(jax.jit,
          static_argnames=("rows", "cols", "precision", "interpret",
-                          "dr", "uv_ks", "col_groups"))
+                          "dr", "uv_ks", "col_groups", "refine"))
 def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                              A1ss, grad_ops=None, uv_ks=None, *, dr,
                              precision=jax.lax.Precision.HIGHEST,
                              rows=None, cols=None, interpret=False,
-                             col_groups=None):
+                             col_groups=None, refine=None):
     """Multi-peak emit-only sweep driver: G peaks, each with its own
     (W0, W1) spectrum window, candidate bank and DFT bases, in one
     pallas launch. Returns (phase (G, n, m), weight (G, n, m)) — the
@@ -766,7 +833,15 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     sees, so only winner phase / column-gradient emissions carry the
     per-run ramp correction (see _grouped_kernel). Cuts the deep
     pass-A/B contractions from 2*W1 to 2*Wb lanes AND the column-basis
-    DMA by the same ratio."""
+    DMA by the same ratio.
+
+    refine: STATIC G-tuple of (coarse_ids, neigh) two-level pass-A
+    plans (ops.wfr._plan_refine): coarse_ids indexes the stride-2
+    coarse subgrid of each candidate bank (evaluated unconditionally);
+    neigh[j] is None for coarse candidates and the tuple of
+    Chebyshev-adjacent coarse ids for fine ones (evaluated only in
+    tiles whose coarse winners are adjacent). HIGH precision only
+    (pass A is the bf16 screen); ignored otherwise."""
     G, P, W0 = gxs.shape
     W1 = Srs.shape[2]
     n = A0cs.shape[1]
@@ -898,10 +973,25 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     ro_scr = (pltpu.VMEM((rows, cols), jnp.float32)
               if col_groups is not None
               else pltpu.VMEM((8, 128), jnp.float32))
+    if not high:
+        refine = None          # pass A at HIGHEST has no bf16 screen
+    if refine is not None and (len(refine) != G or any(
+            len(r[1]) != P for r in refine)):
+        raise ValueError("refine plan does not match the candidate "
+                         "banks")
+    if refine is not None:
+        la_scr = pltpu.VMEM((rows, cols), jnp.float32)
+        ix_scr = pltpu.VMEM((rows, cols), jnp.int32)
+        cx_scr = pltpu.VMEM((rows, cols), jnp.int32)
+    else:
+        la_scr = pltpu.VMEM((8, 128), jnp.float32)
+        ix_scr = pltpu.VMEM((8, 128), jnp.int32)
+        cx_scr = pltpu.VMEM((8, 128), jnp.int32)
     out = pl.pallas_call(
         partial(_grouped_kernel, precision=precision,
                 emit_dr=(int(dr), n, m), emit_grad=emit_grad,
-                uv_ks=uv_ks, col_groups=kernel_groups),
+                uv_ks=uv_ks, col_groups=kernel_groups,
+                refine=refine),
         grid=grid,
         in_specs=[const((G, H, W0, Wb)), const((G, H, W0, Wb)),
                   const((G, H, W0, Wb)) if emit_grad else dummy_spec(),
@@ -931,7 +1021,8 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
             pltpu.VMEM((rows, cols), jnp.float32),
-            ro_scr, ph_scr, wt_scr, cc_scr, rc_scr],
+            ro_scr, ph_scr, wt_scr, cc_scr, rc_scr,
+            la_scr, ix_scr, cx_scr],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

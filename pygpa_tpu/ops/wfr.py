@@ -421,6 +421,66 @@ def _plan_col_groups(wlists, plans, m, sigma, *, pad_bins=6,
     return [np.asarray(o) for o in orders], col_groups, Wb
 
 
+# Two-level candidate refinement in the grouped sweep's pass A
+# (pallas_sweep._grouped_kernel `refine`): evaluate the stride-2
+# coarse subgrid everywhere, fine candidates only near their coarse
+# winners. Module flag for on-chip A/B; the planner below still
+# decides per call whether the bank has the required grid structure.
+_REFINE = True
+
+
+def _plan_refine(wls):
+    """Plan the two-level (coarse -> adjacent-fine) pass-A tournament:
+    detect each bank's rectangular grid structure (the pipeline builds
+    2*ksteps x 2*ksteps k-grids; arbitrary user banks may not have
+    one) and emit per group (coarse_ids, neigh) — the stride-2 coarse
+    subgrid indices and, for each fine candidate, the tuple of
+    Chebyshev-adjacent coarse indices (None entries mark coarse
+    candidates). Works on the wy-sorted banks the banded plan
+    produces (grid detection is order-independent; indices refer to
+    the kernel's candidate order). Returns None when any bank is not
+    an exact rectangular grid of at least 4x4 (coarse+fine would not
+    be cheaper below that)."""
+    plans = []
+    for w in wls:
+        w = np.asarray(w, np.float64)
+        P = w.shape[0]
+
+        def _axis(v):
+            sv = np.sort(v)
+            tol = max(1e-12, float(sv[-1] - sv[0]) * 1e-6)
+            cuts = np.where(np.diff(sv) > tol)[0]
+            edges = np.concatenate([[0], cuts + 1, [len(sv)]])
+            vals = np.array([sv[a:b].mean()
+                             for a, b in zip(edges[:-1], edges[1:])])
+            return vals, tol
+
+        xs, _ = _axis(w[:, 0])
+        ys, _ = _axis(w[:, 1])
+        nx, ny = len(xs), len(ys)
+        if nx * ny != P or nx < 4 or ny < 4:
+            return None
+        ix = np.argmin(np.abs(xs[None, :] - w[:, 0:1]), axis=1)
+        iy = np.argmin(np.abs(ys[None, :] - w[:, 1:2]), axis=1)
+        if len({(int(a), int(b)) for a, b in zip(ix, iy)}) != P:
+            return None
+        coarse = tuple(j for j in range(P)
+                       if ix[j] % 2 == 0 and iy[j] % 2 == 0)
+        neigh = []
+        for j in range(P):
+            if ix[j] % 2 == 0 and iy[j] % 2 == 0:
+                neigh.append(None)
+                continue
+            adj = tuple(c for c in coarse
+                        if abs(int(ix[c]) - int(ix[j])) <= 1
+                        and abs(int(iy[c]) - int(iy[j])) <= 1)
+            if not adj:
+                return None
+            neigh.append(adj)
+        plans.append((coarse, tuple(neigh)))
+    return tuple(plans)
+
+
 def _zoom_basis(n, idx, dtype):
     """cos/sin of the inverse-DFT submatrix e^{2 pi i r idx / n} (n, W),
     computed in-graph with integer mod so large arguments stay exact."""
@@ -653,11 +713,12 @@ def wfr_sweep_phase_weight(image, wlist, kref, sigma, dr, *,
 @partial(jax.jit,
          static_argnames=("sigma", "dr", "with_grad",
                           "direct", "uv_ks", "interpret",
-                          "col_groups"))
+                          "col_groups", "refine"))
 def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
                                with_grad=False,
                                direct=False, uv_ks=None,
-                               interpret=False, col_groups=None):
+                               interpret=False, col_groups=None,
+                               refine=None):
     """All G Bragg-peak sweeps in ONE kernel launch (grouped emit-only
     kernel): per group its own spectrum window, Gaussian factors and
     DFT bases. wl: (G, P, 2); idx0s: (G, W0); idx1s: (G, W1).
@@ -717,7 +778,7 @@ def _wfr_sweep_zoom_pw_grouped(spectrum, wl, idx0s, idx1s, sigma, dr,
         Sr, Si, gxs, gys, A0c, A0s, A1c, A1s,
         grad_ops, uv_ks=uv_tp, dr=int(dr),
         precision=_ZOOM_PRECISION,
-        interpret=interpret, col_groups=col_groups)
+        interpret=interpret, col_groups=col_groups, refine=refine)
 
 
 def wfr_sweep_uv_multi(image, wlists, sigma, dr, krefs, *,
@@ -803,6 +864,7 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
                 # the bf16 pass-A near-ties, accuracy-gated)
                 wls = [w[o] for w, o in zip(wls, orders)]
                 col_groups = (int(Wb), groups)
+        refine = _plan_refine(wls) if _REFINE else None
         wl = jnp.asarray(np.stack(wls))
         idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
         idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
@@ -818,7 +880,8 @@ def wfr_sweep_phase_weight_multi(image, wlists, sigma, dr, *,
             image if direct else spectrum, wl, idx0s, idx1s,
             float(sigma), int(dr),
             with_grad=with_grad, direct=direct, uv_ks=uv_tp,
-            interpret=interpret, col_groups=col_groups)
+            interpret=interpret, col_groups=col_groups,
+            refine=refine)
         if _uv or not with_grad:
             return out
         ph, wt, ggx, ggy = out

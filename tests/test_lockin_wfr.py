@@ -1016,3 +1016,93 @@ def test_sweep_over_48_candidates_exact_winners():
     # the 8x8 grid's finer spacing makes amplitude near-ties common
     # (measured 3.2% f32-tie flips, all within 1e-5 relative)
     assert mism.mean() < 0.05
+
+
+def test_refined_sweep_matches_full(monkeypatch):
+    """The two-level pass-A refinement (coarse stride-2 subgrid +
+    adjacent-fine conditional tournament, ops/wfr._plan_refine /
+    pallas_sweep `refine`) matches the full per-candidate tournament
+    on all three emission paths in interpret mode. On smooth lock-in
+    amplitude landscapes the coarse argmax is always adjacent to the
+    true winner, so the outputs are IDENTICAL (flips would appear as
+    phase/weight diffs; gated to tiny fractions here and pinned
+    on-chip in tests_tpu)."""
+    import pygpa_tpu.ops.wfr as wfr_mod
+    from pygpa_tpu.ops.wfr import (wfr_sweep_phase_weight_multi,
+                                   wfr_sweep_uv_multi)
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+
+    size, r_k, theta = 256, 0.1, 7.0
+    img = np.asarray(hexlattice_gen(r_k, theta, order=1, size=size,
+                                    dtype=np.float32))
+    img = jnp.asarray(img - img.mean())
+    ks = np.asarray(generate_ks(r_k, theta), np.float64)[:3]
+    knorms = np.linalg.norm(ks, axis=1)
+    kw = knorms.mean() / 2.5
+    pts = 6
+    offs = (np.arange(pts) - (pts - 1) / 2) * (2 * kw / pts)
+    wx, wy = np.meshgrid(offs, offs, indexing="ij")
+    grid = np.stack([wx.ravel(), wy.ravel()], -1)
+    wlists = [np.asarray(k)[None] + grid for k in ks]
+    sigma = int(np.ceil(1 / knorms.min()))
+    dr = 2
+
+    plan = wfr_mod._plan_refine(wlists)
+    assert plan is not None and len(plan[0][0]) == 9, \
+        "fixture no longer activates the refinement planner"
+
+    outs = {}
+    for refine in (False, True):
+        monkeypatch.setattr(wfr_mod, "_REFINE", refine)
+        ph, wt = wfr_sweep_phase_weight_multi(
+            img, wlists, sigma, dr, interpret=True)
+        uv = wfr_sweep_uv_multi(img, wlists, sigma, dr, ks,
+                                interpret=True)
+        gr = wfr_sweep_phase_weight_multi(
+            img, wlists, sigma, dr, with_grad=True, krefs=ks,
+            interpret=True)
+        outs[refine] = (np.asarray(ph), np.asarray(wt),
+                        [np.asarray(a) for a in uv],
+                        [np.asarray(a) for a in gr])
+    ph0, wt0, uv0, gr0 = outs[False]
+    ph1, wt1, uv1, gr1 = outs[True]
+    # flips happen ONLY in the rim band, where the lock-in window
+    # hangs off the image, the amplitude landscape is edge garbage,
+    # and the emission mask floors the weight to 1e-6 (measured on
+    # this fixture: interior flip fraction exactly 0, all flips
+    # outside the dr rim) — assert the region the pipeline consumes
+    b = 4 * sigma
+    core = np.s_[:, b:-b, b:-b]
+    dph = np.abs(np.angle(np.exp(1j * (ph1 - ph0))))[core]
+    assert dph.max() == 0.0
+    rel = (np.abs(wt1 - wt0) / (np.abs(wt0) + 1e-9))[core]
+    assert rel.max() == 0.0
+    for a, b2 in zip(uv0[:2], uv1[:2]):
+        assert np.abs(a - b2)[:, b:-b, b:-b].max() == 0.0
+    assert np.abs(uv0[2] - uv1[2])[b:-b, b:-b].max() == 0.0
+    ga = np.abs(gr0[2] - gr1[2])[:, b:-b, b:-b]
+    assert ga.max() == 0.0
+
+
+def test_plan_refine_rejects_non_grids():
+    """Arbitrary (non-grid) candidate banks must fall back to the full
+    tournament."""
+    import pygpa_tpu.ops.wfr as wfr_mod
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(36, 2))
+    assert wfr_mod._plan_refine([w]) is None
+    # a 3x3 grid is too small to profit
+    offs = np.arange(3) * 0.01
+    wx, wy = np.meshgrid(offs, offs, indexing="ij")
+    w = np.stack([wx.ravel(), wy.ravel()], -1)
+    assert wfr_mod._plan_refine([w]) is None
+    # a proper 4x4 grid plans, with 4 coarse cells and full coverage
+    offs = np.arange(4) * 0.01
+    wx, wy = np.meshgrid(offs, offs, indexing="ij")
+    w = np.stack([wx.ravel(), wy.ravel()], -1)
+    plan = wfr_mod._plan_refine([w])
+    assert plan is not None
+    coarse, neigh = plan[0]
+    assert len(coarse) == 4
+    assert all(n is None for i, n in enumerate(neigh) if i in coarse)
+    assert all(n for i, n in enumerate(neigh) if i not in coarse)
