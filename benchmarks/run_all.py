@@ -9,6 +9,7 @@ bench.py at the repo root remains the headline single-line metric
  3. 2048^2 distorted lattice: weighted unwrap + Lawler-Fujita
  4. 4096^2 TBG moire: unit-cell averaging + full-image reconstruction
  5. 8k^2 mosaic as 4x(4096^2) tiles: batched property extraction
+ 6. 8192^2 single image, full fused pipeline on one chip
 
 Every config carries a HARD accuracy gate (same discipline as
 bench.py's headline ratchets): each fixture embeds a known truth —
@@ -343,13 +344,42 @@ def config5f():
             n * n / 1e3 / dt, checks)
 
 
+def config6():
+    """8192^2 SINGLE image through the full fused pipeline on one chip
+    (VERDICT r4 #7): extends the single-chip story past 4096^2 and
+    marks the measured crossover point for the parallel/ sharded path
+    (use extract_displacement_field_sharded beyond single-chip HBM).
+    Window widths, zoom plans and DCT sizes all scale (pallas_dct2
+    supports 8192); same physics as the headline fixture (r_k=0.02,
+    sigma=50), so per-pixel sweep work ~doubles (spectrum windows span
+    2x the FFT indices at the same k-extent)."""
+    import jax
+    import jax.numpy as jnp
+    from pygpa_tpu.lattices import hexlattice_gen, generate_ks
+    from pygpa_tpu.gpa.pipeline import make_displacement_extractor
+    size = 8192
+    r_k, theta, kappa, psi = 0.02, 5.0, 1.005, 10.0
+    img = jax.device_put(hexlattice_gen(r_k, theta, order=2, size=size,
+                                        kappa=kappa, psi=psi,
+                                        dtype=jnp.float32))
+    ks = np.asarray(generate_ks(r_k, theta, kappa=kappa, psi=psi))[:3]
+    fn = make_displacement_extractor((size, size), ks, chunk=4,
+                                     unwrap_coarse=4)
+    dt = _timeit(fn, img, reps=2)
+    checks = {"u_err_interior_px": (_interior_umax(fn(img), ks),
+                                    0.002)}
+    return ("full pipeline, 8192^2 single image",
+            size * size / 1e6 / dt, checks)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,1b,2,2g,3,4,5,5f")
+    p.add_argument("--configs", default="1,1b,2,2g,3,4,5,5f,6")
     args = p.parse_args()
     nogate = bool(os.environ.get("PYGPA_BENCH_NOGATE"))
     fns = {"1": config1, "1b": config1b, "2": config2, "2g": config2g,
-           "3": config3, "4": config4, "5": config5, "5f": config5f}
+           "3": config3, "4": config4, "5": config5, "5f": config5f,
+           "6": config6}
     failed = []
     for c in args.configs.split(","):
         name, val, checks = fns[c]()

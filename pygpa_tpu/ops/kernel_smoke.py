@@ -61,10 +61,13 @@ def run_kernel_smoke(verbose=False):
     sigma = int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
     dr = 2
 
-    # the 4x4 banks below must activate the two-level refinement
-    # planner, so every grouped launch in this section traces the
-    # refined (conditional fine-candidate) pass-A branch
-    assert wfr_mod._REFINE and wfr_mod._plan_refine(wlists) is not None
+    # production default: refinement OFF (measured on-chip regression,
+    # see ops/wfr._REFINE) — the launches below trace the production
+    # plain pass-A; the refined branch is traced separately at the end
+    # of this section so the experimental path stays compile-checked
+    assert not wfr_mod._REFINE, \
+        "refinement is expected OFF in production (ops/wfr._REFINE)"
+    assert wfr_mod._plan_refine(wlists) is not None
 
     # --- grouped sweep kernel (the production pipeline path) ---
     ph, wt = wfr_sweep_phase_weight_multi(img, wlists, sigma, dr,
@@ -88,6 +91,21 @@ def run_kernel_smoke(verbose=False):
     _check("grouped uv", uv[0][:, :, 1:], uv[1][:, 1:, :], uv[2])
     assert uv[0].shape == (2,) + img.shape and uv[2].shape == img.shape
     log("grouped uv ok")
+
+    # --- refined pass-A branch (experimental, off in production) ---
+    # one grouped launch with the two-level refinement forced on, so
+    # the conditional-tournament kernel branch keeps compiling even
+    # though _REFINE defaults to False
+    old_refine = wfr_mod._REFINE
+    wfr_mod._REFINE = True
+    try:
+        phr, wtr = wfr_sweep_phase_weight_multi(img, wlists, sigma, dr,
+                                                interpret=True)
+        _check("grouped refined", phr, wtr)
+        assert phr.shape == (3,) + img.shape
+    finally:
+        wfr_mod._REFINE = old_refine
+    log("grouped refined ok")
 
     # --- BANDED grouped sweep (the production default at 4096^2) ---
     # at the 256^2 fixture above _plan_col_groups returns None (band ~

@@ -426,7 +426,16 @@ def _plan_col_groups(wlists, plans, m, sigma, *, pad_bins=6,
 # coarse subgrid everywhere, fine candidates only near their coarse
 # winners. Module flag for on-chip A/B; the planner below still
 # decides per call whether the bank has the required grid structure.
-_REFINE = True
+# MEASURED on-chip (4096^2, 3 peaks, banded production config,
+# same-process interleaved A/B, r5): 43.8 ms refined vs 34.9 ms plain
+# — the 27 per-fine-candidate pl.when-guarded dots serialize the MXU
+# against the tournament VPU work and lose to the single batched
+# pass-A dot, the same failure class as the deleted column screening
+# (r4 verdict item 7). Winner fidelity was fine (interior-exact); the
+# cost structure was not. OFF in production; the code path stays
+# covered by the interpret A/Bs and the kernel-smoke tier so the
+# measured negative result remains reproducible.
+_REFINE = False
 
 
 def _plan_refine(wls):
