@@ -47,23 +47,28 @@ def _sync(x):
     return float(jnp.sum(jnp.abs(x)).astype(jnp.float32))
 
 
-def time_stage(fn, inner=INNER, outer=OUTER):
-    """fn: scalar f32 `t` -> scalar f32 (runs the stage once, with t
-    threaded through its inputs). Returns (median_ms, iqr_ms, raw)."""
+def time_stage(fn, operands=(), inner=INNER, outer=OUTER):
+    """fn: (scalar f32 `t`, *operands) -> scalar f32 (runs the stage
+    once, with t threaded through its inputs). Large device arrays
+    MUST ride `operands`, not the closure: closed-over arrays are
+    baked into the HLO as literal constants and the tunneled
+    remote-compile endpoint rejects multi-hundred-MB request bodies
+    (HTTP 413, observed at ~128 MB+ of closure constants).
+    Returns (median_ms, iqr_ms, raw)."""
     import jax
 
     @jax.jit
-    def looped():
+    def looped(*ops):
         def body(i, acc):
-            return acc + fn(acc * 0.0)
+            return acc + fn(acc * 0.0, *ops)
         return jax.lax.fori_loop(0, inner, body,
                                  np.float32(0.0))
 
-    _sync(looped())          # compile + warm
+    _sync(looped(*operands))          # compile + warm
     ts = []
     for _ in range(outer):
         t0 = time.perf_counter()
-        _sync(looped())
+        _sync(looped(*operands))
         ts.append((time.perf_counter() - t0) * 1e3 / inner)
     ts = np.asarray(ts)
     return (float(np.median(ts)),
@@ -129,9 +134,10 @@ def main():
 
     stages = {}
 
-    def record(name, fn, inner=INNER):
+    def record(name, fn, operands=(), inner=INNER):
         try:
-            med, iqr, raw = time_stage(fn, inner=inner)
+            med, iqr, raw = time_stage(fn, operands=operands,
+                                       inner=inner)
         except Exception as e:  # keep the profile partial, not dead
             stages[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"  {name}: ERROR {type(e).__name__}", flush=True)
@@ -147,29 +153,29 @@ def main():
     extract = make_displacement_extractor((SIZE, SIZE), ks, chunk=4,
                                           unwrap_coarse=4)
     record("full_pipeline",
-           lambda t: jnp.mean(extract(img + t)), inner=3)
+           lambda t, im: jnp.mean(extract(im + t)), (img,), inner=3)
 
     # --- grouped banded sweep, uv emission (production path) ---
-    def sweep_uv(t):
-        uv = wfr_sweep_uv_multi(img0 + t, wlists, sig, dr, ks,
+    def sweep_uv(t, im0):
+        uv = wfr_sweep_uv_multi(im0 + t, wlists, sig, dr, ks,
                                 gauss_cut=gc, interpret=interp)
         return jnp.mean(uv[2])
-    record("sweep_uv_3peaks", sweep_uv)
+    record("sweep_uv_3peaks", sweep_uv, (img0,))
 
     # --- grouped banded sweep, phase/weight emission ---
-    def sweep_pw(t):
+    def sweep_pw(t, im0):
         ph, wt = wfr_sweep_phase_weight_multi(
-            img0 + t, wlists, sig, dr, gauss_cut=gc, interpret=interp)
+            im0 + t, wlists, sig, dr, gauss_cut=gc, interpret=interp)
         return jnp.mean(wt)
-    record("sweep_pw_3peaks", sweep_pw)
+    record("sweep_pw_3peaks", sweep_pw, (img0,))
 
     # --- grouped banded sweep, gradient emission ---
-    def sweep_grad(t):
+    def sweep_grad(t, im0):
         out = wfr_sweep_phase_weight_multi(
-            img0 + t, wlists, sig, dr, with_grad=True, krefs=ks,
+            im0 + t, wlists, sig, dr, with_grad=True, krefs=ks,
             gauss_cut=gc, interpret=interp)
         return jnp.mean(out[1])
-    record("sweep_grad_3peaks", sweep_grad)
+    record("sweep_grad_3peaks", sweep_grad, (img0,))
 
     # --- direct DFT spectrum windows alone ---
     plans = _plan_zoom_multi((SIZE, SIZE), wlists, float(sig),
@@ -177,10 +183,10 @@ def main():
     idx0s = jnp.asarray(np.stack([p[0] for p in plans]))
     idx1s = jnp.asarray(np.stack([p[1] for p in plans]))
 
-    def dftw(t):
-        Sr, Si = _dft_windows(img0 + t, idx0s, idx1s, jnp.float32)
+    def dftw(t, im0):
+        Sr, Si = _dft_windows(im0 + t, idx0s, idx1s, jnp.float32)
         return jnp.mean(Sr) + jnp.mean(Si)
-    record("dft_windows", dftw)
+    record("dft_windows", dftw, (img0,))
 
     # --- production multigrid unwrap on the sweep's real outputs ---
     uv = jax.jit(lambda x: wfr_sweep_uv_multi(
@@ -191,11 +197,12 @@ def main():
     wnorm = jax.device_put(uv[2])
     kmg = min(DEFAULTS.unwrap_kmax_reconstruct, DEFAULTS.unwrap_kmax_mg)
 
-    def unwrap_mg(t):
+    def unwrap_mg(t, dx2, dy2, wn):
         u = jax.vmap(lambda dx, dy: U.phase_unwrap_prediff_mg(
-            dx, dy, wnorm + t, kmax=kmg, coarse=4))(dudx, dudy)
+            dx, dy, wn + t, kmax=kmg, coarse=4))(dx2, dy2)
         return jnp.mean(u)
-    record("unwrap_mg_2comp", unwrap_mg, inner=3)
+    record("unwrap_mg_2comp", unwrap_mg, (dudx, dudy, wnorm),
+           inner=3)
 
     # --- fused V-branch stencil kernels at full size ---
     from pygpa_tpu.ops import pallas_vcycle, pallas_cg
@@ -205,19 +212,19 @@ def main():
     dyp = jax.device_put(jnp.concatenate(
         [dudy, jnp.zeros((2, 1, SIZE), jnp.float32)], axis=-2))
 
-    def presmooth(t):
+    def presmooth(t, ph2, dx2, dy2, wn):
         out = jax.vmap(
             lambda p, a, b: pallas_vcycle.presmooth(
-                p, a, b, wnorm + t, 4, U._JACOBI_OMEGA)
-        )(phi, dxp, dyp)
+                p, a, b, wn + t, 4, U._JACOBI_OMEGA)
+        )(ph2, dx2, dy2)
         return jnp.mean(out[0])
-    record("vcycle_presmooth_2comp", presmooth)
+    record("vcycle_presmooth_2comp", presmooth,
+           (phi, dxp, dyp, wnorm))
 
-    def applyq(t):
-        out = jax.vmap(lambda p: pallas_vcycle.applyq(p + t, wnorm))(
-            phi)
+    def applyq(t, ph2, wn):
+        out = jax.vmap(lambda p: pallas_vcycle.applyq(p + t, wn))(ph2)
         return jnp.mean(out)
-    record("vcycle_applyq_2comp", applyq)
+    record("vcycle_applyq_2comp", applyq, (phi, wnorm))
 
     # --- coarse-level CG: whole-VMEM kernel vs XLA while_loop ---
     nc = SIZE // 4
@@ -230,25 +237,25 @@ def main():
     rk, WWx, WWy = jax.jit(U._residual_aligned)(dxc, dyc, wc)
     rk, WWx, WWy = map(jax.device_put, (rk, WWx, WWy))
 
-    def cg_kernel(t):
-        phi = pallas_cg.cg_poisson(rk + t, WWx, WWy, kmg,
+    def cg_kernel(t, r0, wx, wy):
+        phi = pallas_cg.cg_poisson(r0 + t, wx, wy, kmg,
                                    jax.lax.Precision.HIGH)
         return jnp.mean(phi)
-    record(f"cg_kernel_{nc}", cg_kernel)
+    record(f"cg_kernel_{nc}", cg_kernel, (rk, WWx, WWy))
 
-    def cg_xla(t):
-        phi, _ = U._cg_unwrap_jit(rk + t, WWx, WWy, kmg,
+    def cg_xla(t, r0, wx, wy):
+        phi, _ = U._cg_unwrap_jit(r0 + t, wx, wy, kmg,
                                   jax.lax.Precision.HIGH, None,
                                   True, False)
         return jnp.mean(phi)
-    record(f"cg_xla_{nc}", cg_xla)
+    record(f"cg_xla_{nc}", cg_xla, (rk, WWx, WWy))
 
     # --- Wiener deconvolution of the displacement field ---
     u2 = jax.device_put(jnp.zeros((2, SIZE, SIZE), jnp.float32))
 
-    def deconv(t):
-        return jnp.mean(gaussian_deconvolve(u2 + t, sig, dr))
-    record("deconvolve_2comp", deconv, inner=3)
+    def deconv(t, uu):
+        return jnp.mean(gaussian_deconvolve(uu + t, sig, dr))
+    record("deconvolve_2comp", deconv, (u2,), inner=3)
 
     # --- MFU estimate from the sweep plan shapes ---
     cg_plan = _plan_col_groups(wlists, plans, SIZE, float(sig),
