@@ -61,8 +61,17 @@ def main():
     # rendered lattice exactly), so the recovered |u| IS the pipeline
     # error; fetch as float32 (tunnel-safe)
     b = 8 * int(np.ceil(1 / np.linalg.norm(ks, axis=1).min()))
-    u_err = float(jnp.max(jnp.abs(u[:, b:-b, b:-b])
-                          ).astype(jnp.float32))
+    ui = u[:, b:-b, b:-b]
+    u_err = float(jnp.max(jnp.abs(ui)).astype(jnp.float32))
+    # dc-free interior error: GPA determines u only up to a constant
+    # (the deformed gate below mean-subtracts for exactly this
+    # reason), and the r5 decomposition showed the raw number is
+    # ~1/3 unwrap DC: raw 0.0015 = DC 0.0005 + ripple 0.0014 on-chip
+    # vs CPU f32 raw 0.00104 / dc-free 0.00064 (the r2 "0.00063" WAS
+    # this structural floor). Gating both keeps the DC bounded while
+    # ratcheting the physically meaningful ripple separately.
+    um = ui - ui.mean(axis=(1, 2), keepdims=True)
+    u_err_dcfree = float(jnp.max(jnp.abs(um)).astype(jnp.float32))
     # deformed-fixture gate: recovered -u vs the analytic truth
     # (mean-subtracted — the pipeline determines u up to a constant).
     # The raw field carries the sigma-wide lock-in window blur
@@ -79,12 +88,16 @@ def main():
     # that trades past these FAILS the bench outright instead of
     # silently drifting (r2 0.00063 -> r3 0.00138 px went unchecked).
     gate_interior, gate_deformed = 0.002, 0.075
-    if not (u_err < gate_interior and u_err_def < gate_deformed):
+    gate_dcfree = 0.0015
+    if not (u_err < gate_interior and u_err_def < gate_deformed
+            and u_err_dcfree < gate_dcfree):
         print(json.dumps({
             "metric": "ACCURACY GATE FAILED",
             "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0,
             "u_err_interior_px": round(u_err, 5),
             "gate_interior_px": gate_interior,
+            "u_err_interior_dcfree_px": round(u_err_dcfree, 5),
+            "gate_dcfree_px": gate_dcfree,
             "u_err_deformed_px": round(u_err_def, 5),
             "gate_deformed_px": gate_deformed,
         }))
@@ -97,8 +110,10 @@ def main():
         "vs_baseline": round(mpix_s / baseline, 1),
         "seconds_per_image": round(dt, 4),
         "u_err_interior_px": round(u_err, 5),
+        "u_err_interior_dcfree_px": round(u_err_dcfree, 5),
         "u_err_deformed_px": round(u_err_def, 5),
-        "gated": f"interior<{gate_interior}, deformed<{gate_deformed}",
+        "gated": f"interior<{gate_interior}, "
+                 f"dcfree<{gate_dcfree}, deformed<{gate_deformed}",
         "device": str(jax.devices()[0]),
     }))
 

@@ -136,8 +136,15 @@ def main():
 
     def record(name, fn, operands=(), inner=INNER):
         try:
-            med, iqr, raw = time_stage(fn, operands=operands,
-                                       inner=inner)
+            try:
+                med, iqr, raw = time_stage(fn, operands=operands,
+                                           inner=inner)
+            except Exception:
+                # one retry: the tunnel's remote-compile endpoint
+                # sporadically drops a request mid-read (transient)
+                time.sleep(10)
+                med, iqr, raw = time_stage(fn, operands=operands,
+                                           inner=inner)
         except Exception as e:  # keep the profile partial, not dead
             stages[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"  {name}: ERROR {type(e).__name__}", flush=True)
