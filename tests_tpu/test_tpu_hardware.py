@@ -237,9 +237,19 @@ def test_small_matmul_precision_onchip():
     assert np.abs(dev[:6] - host).max() < 1e-6
 
 
-def test_grouped_sweep_onchip_matches_per_peak():
-    """The single-launch grouped multi-peak sweep == three per-peak
-    kernel launches, bit-for-bit (same math, same precision)."""
+def test_grouped_sweep_onchip_matches_per_peak(monkeypatch):
+    """The single-launch grouped multi-peak sweep vs three per-peak
+    kernel launches, on chip. Like-for-like: the per-peak kernel has
+    no banded mode, so the grouped launch is compared UNBANDED, where
+    the two programs run the same math at the same precision
+    (bit-level). The production BANDED grouped launch is then compared
+    against the unbanded one with the flip-tolerant bounds of the
+    interpret-mode A/B (tests/test_lockin_wfr.py::
+    test_banded_sweep_matches_unbanded): band recentering changes f32
+    rounding, so bf16 pass-A near-ties may legitimately flip between
+    amplitude-equivalent candidates (this pin previously demanded
+    bit-identity of banded-vs-unbanded and held only by luck)."""
+    import pygpa_tpu.ops.wfr as wfr_mod
     from pygpa_tpu.lattices import hexlattice_gen, generate_ks
     from pygpa_tpu.ops.wfr import (wfr_sweep_phase_weight,
                                    wfr_sweep_phase_weight_multi)
@@ -260,6 +270,8 @@ def test_grouped_sweep_onchip_matches_per_peak():
     dr = 2 * sig
     img0 = img - img.mean()
     spec = jnp.fft.fft2(img0)
+
+    monkeypatch.setattr(wfr_mod, "_COL_GROUPS", False)
     phg, wg = wfr_sweep_phase_weight_multi(img0, wlists, sig, dr,
                                            spectrum=spec)
     for g, w in enumerate(wlists):
@@ -267,6 +279,23 @@ def test_grouped_sweep_onchip_matches_per_peak():
                                         spectrum=spec)
         assert _maxabs(phg[g] - ph) < 1e-6
         assert _maxabs(wg[g] - wt) < 1e-6
+
+    monkeypatch.setattr(wfr_mod, "_COL_GROUPS", True)
+    phb, wb = wfr_sweep_phase_weight_multi(img0, wlists, sig, dr,
+                                           spectrum=spec)
+    # band-truncation bounds + near-tie flip tolerance (on-device
+    # reductions; float fetches only)
+    dph = jnp.abs(jnp.angle(jax.lax.complex(jnp.cos(phb - phg),
+                                            jnp.sin(phb - phg))))
+    p99 = float(jnp.percentile(dph, 99.0).astype(jnp.float32))
+    flip_frac = float(jnp.mean((dph > 1e-4).astype(jnp.float32)))
+    rel = jnp.abs(wb - wg) / (jnp.abs(wg) + 1e-9)
+    rel_p99 = float(jnp.percentile(rel, 99.0).astype(jnp.float32))
+    rel_max = _maxabs(rel)
+    assert p99 < 5e-5, p99
+    assert flip_frac < 1e-2, flip_frac
+    assert rel_p99 < 5e-5, rel_p99
+    assert rel_max < 2e-2, rel_max
 
 
 def test_kernel_grad_onchip_vs_discrete():
