@@ -46,6 +46,14 @@ class GPAConfig:
     # 1 at 134.8 Mpix/s; interior err 0.0011 vs 0.0007 px ("vv" is
     # slower than 1 — two coarse CG solves cost more than the DCT).
     unwrap_mg_final: object = "v"
+    # CG iterations of the V-branch's coarse-grid correction solve
+    # (None = inherit kmax). 4 measured on-chip at 4096^2 (r5 A/B,
+    # ms / raw / dcfree / deformed): 49.6/.0016/.0013/.0717 vs the
+    # inherited 6 at 50.2/.0015/.0014/.0728 — slightly faster AND
+    # better on the two tightest ratchets (dc-free interior ripple,
+    # deformed); only the physically-meaningless unwrap DC moves.
+    # Small-image gates re-verified by the CPU suite (test_pipeline).
+    unwrap_mg_v_kmax: object = 4
     unwrap_kmax_iterate: int = 25
     unwrap_kmax_final: int = 200
     # Zoom-window tail cut (-ln G at the window edge) for the

@@ -574,6 +574,10 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
             _, WWxv, WWyv = _residual_aligned(dxv, dyv, wv)
             prev = precond_factory((n // cv, m // cv)) \
                 if precond_factory else None
+            # coarse-correction CG depth: own knob (measured better
+            # than inheriting kmax at 4096^2 — see config.py)
+            vk = int(kmax) if DEFAULTS.unwrap_mg_v_kmax is None \
+                else int(DEFAULTS.unwrap_mg_v_kmax)
             for j in range(rounds):
                 if j == 0 and rrow is not None:
                     # finish the kernel's row-averaged restriction
@@ -582,7 +586,7 @@ def phase_unwrap_prediff_mg(dx, dy, weight=None, kmax=10, coarse=4,
                                 _avg_right(mc, mc // cv, cv, dt))
                 else:
                     r2c = block_mean(r, n // cv, m // cv, cv)
-                dcor, _ = _cg_unwrap(r2c, WWxv, WWyv, int(kmax),
+                dcor, _ = _cg_unwrap(r2c, WWxv, WWyv, vk,
                                      precision, prev, aligned=True)
                 dcu = upsample(dcor, nc, mc)
                 q = apply_q(dcu)
