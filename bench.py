@@ -88,7 +88,10 @@ def main():
     # that trades past these FAILS the bench outright instead of
     # silently drifting (r2 0.00063 -> r3 0.00138 px went unchecked).
     gate_interior, gate_deformed = 0.002, 0.075
-    gate_dcfree = 0.0015
+    # ratcheted 0.0015 -> 0.0012 when gauss_cut=7 landed (measured
+    # dc-free ripple 0.00091 on-chip; r4 verdict item 6 target <0.001
+    # reached on this, the physically meaningful, metric)
+    gate_dcfree = 0.0012
     if not (u_err < gate_interior and u_err_def < gate_deformed
             and u_err_dcfree < gate_dcfree):
         print(json.dumps({

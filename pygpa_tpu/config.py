@@ -58,12 +58,18 @@ class GPAConfig:
     unwrap_kmax_final: int = 200
     # Zoom-window tail cut (-ln G at the window edge) for the
     # PRODUCTION f32 pipeline sweeps (make_displacement_extractor):
-    # 10 -> edge G ~ 4.5e-5. Measured on-chip at 4096^2: winner phase
-    # changes <= 5e-7 rad vs the exact-grade default while the deep-dot
-    # window shrinks 256->192 on the padded axis (3-peak sweep
-    # 54 -> 43 ms). The generic sweep API keeps ops/wfr._GAUSS_CUT=22
-    # (tail below f32 resolution) for f64-grade oracle equivalence.
-    pipeline_gauss_cut: float = 10.0
+    # 10 -> edge G ~ 4.5e-5 (measured r3: winner phase <= 5e-7 rad vs
+    # exact-grade while the deep-dot window shrinks 256->192; 3-peak
+    # sweep 54 -> 43 ms). r5 on-chip A/B at 4096^2 (ms / raw / dcfree
+    # / deformed): 10 -> 49.6/.00159/.00130/.0717; 8 ->
+    # 49.5/.00172/.00132/.0720; 7 -> 49.6/.00118/.00091/.0721. The
+    # cut-vs-ripple relation is NON-monotonic (specific window index
+    # sets resonate differently with the lattice harmonics; gc=22
+    # measured .00129 raw) — 7 is the measured optimum and is
+    # speed-neutral (the padded lane width does not change), so it is
+    # the default; every gate (bench ratchets, run_all configs,
+    # tests_tpu pins) re-validated on chip at this value.
+    pipeline_gauss_cut: float = 7.0
     # Fused sweep -> reconstruction-prologue emission: the grouped
     # sweep kernel computes the wrapped phase diffs + per-pixel
     # weighted lstsq in its epilogue and emits dudx/dudy/wnorm

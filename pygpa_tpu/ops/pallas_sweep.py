@@ -864,8 +864,45 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
     if cols is None:
         cands = (128, _COLS) if emit_grad else (128, _COLS, 512)
         cols = max(b for b in cands if m % b == 0)
-    grid = (n // rows, m // cols)
     high = precision == jax.lax.Precision.HIGH
+
+    # --- VMEM-aware tile-height guard -----------------------------
+    # The scoped-VMEM stack must hold the scratch arrays plus the
+    # (double-buffered) grid blocks; at 8192^2 the gc=7 window plan
+    # pushed the static rows=128 choice 3.8 MB past the 100 MB limit
+    # (Mosaic stack ~2.3x the raw byte sum from buffering/padding).
+    # Estimate the raw sum and halve rows until it fits a
+    # conservative raw budget, so larger images/window plans degrade
+    # to more grid steps instead of failing to compile.
+    WbE = int(col_groups[0]) if col_groups is not None else W1
+    HE = len(col_groups[1][0]) if col_groups is not None else 1
+
+    def _raw_vmem(rows_, cols_):
+        f4, bf2 = 4, 2
+        t = G * P * rows_ * (4 * WbE * bf2 if high else 2 * WbE * f4)
+        tx = t if emit_grad else 8 * 128 * bf2
+        consts = (G * HE * W0 * WbE * f4 * (4 if emit_grad else 2)
+                  + G * P * W0 * f4 + G * P * WbE * f4)
+        a0 = 2 * (G * rows_ * W0 * f4) * 2
+        b1 = (4 if emit_grad else 2) * (G * cols_ * 2 * WbE * f4) * 2
+        if emit_uv:
+            outs = 3 * rows_ * cols_ * f4 * 2
+            uv_scr = (2 * G * rows_ * cols_ * f4
+                      + 2 * G * rows_ * 128 * f4 + 2 * G * 8 * m * f4)
+        else:
+            outs = 2 * G * rows_ * cols_ * f4 * 2
+            uv_scr = 0
+        if emit_grad:
+            outs += 2 * G * rows_ * cols_ * f4 * 2
+        misc = (3 + (1 if col_groups is not None else 0)
+                + (3 if refine is not None else 0)) * rows_ * cols_ * f4
+        return t + tx + consts + a0 + b1 + outs + uv_scr + misc
+
+    _RAW_BUDGET = 40 * 1024 * 1024
+    while rows > 8 and n % (rows // 2) == 0 \
+            and _raw_vmem(rows, cols) > _RAW_BUDGET:
+        rows //= 2
+    grid = (n // rows, m // cols)
     if col_groups is not None:
         Wb, runs = col_groups
         Wb = int(Wb)
