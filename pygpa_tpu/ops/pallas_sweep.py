@@ -80,6 +80,12 @@ def _dot_maker(precision):
 _D01 = (((1,), (0,)), ((), ()))   # contract a's last with b's first
 _D11 = (((1,), (1,)), ((), ()))   # contract both last dims
 
+# Raw-byte budget for the grouped driver's VMEM-aware row stepping
+# (Mosaic's scoped-VMEM stack runs ~2.3x the raw sum from double
+# buffering/padding against its 100 MB limit). Module-level so tests
+# can force the stepping path on small interpret fixtures.
+_RAW_BUDGET = 40 * 1024 * 1024
+
 
 def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
@@ -898,7 +904,6 @@ def fused_zoom_sweep_grouped(Srs, Sis, gxs, gys, A0cs, A0ss, A1cs,
                 + (3 if refine is not None else 0)) * rows_ * cols_ * f4
         return t + tx + consts + a0 + b1 + outs + uv_scr + misc
 
-    _RAW_BUDGET = 40 * 1024 * 1024
     while rows > 8 and n % (rows // 2) == 0 \
             and _raw_vmem(rows, cols) > _RAW_BUDGET:
         rows //= 2
